@@ -1,0 +1,300 @@
+"""Dataset loaders: toy fixture, synthetic generators, and on-disk loaders.
+
+Mirrors the reference's data layer (load_graph.py):
+- ``load_dataset(name) -> (Graph, n_classes, multilabel)``  (load_graph.py:65-80)
+- the 5-node toy fixture (load_graph.py:91-120)
+- cora/citeseer/pubmed/reddit/yelp/flickr + ogbn-* dispatch
+
+This environment has no network egress, so the real-dataset loaders read
+pre-downloaded files from ``BLISS_DATA_ROOT`` (default ``~/datasets``) in the
+standard public formats:
+- planetoid (cora/citeseer/pubmed): the ``ind.<name>.*`` pickle family
+- GraphSAINT npz (reddit/yelp/flickr): adj_full.npz + feats.npy + class_map.json + role.json
+- DGL RedditDataset npz: reddit_data.npz + reddit_graph.npz
+- ogbn-*: the OGB extracted directory layout (csv.gz / npy)
+
+Synthetic generators provide benchmark-scale graphs with the same shape
+statistics as the published configs (README.md:22-30) when raw data is absent.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import sys
+from typing import Tuple
+
+import numpy as np
+
+from bliss_gnn_tpu.graph.structure import Graph
+
+DATA_ROOT = os.environ.get("BLISS_DATA_ROOT", os.path.expanduser("~/datasets"))
+
+# (n_nodes, n_edges(directed, no self-loops), n_feats, n_classes, multilabel)
+# Shape statistics of the reference's datasets, for synthetic stand-ins.
+DATASET_STATS = {
+    "cora": (2708, 10556, 1433, 7, False),
+    "citeseer": (3327, 9104, 3703, 6, False),
+    "pubmed": (19717, 88648, 500, 3, False),
+    "flickr": (89250, 899756, 500, 7, False),
+    "reddit": (232965, 114615892, 602, 41, False),
+    "yelp": (716847, 13954819, 300, 100, True),
+    "ogbn-arxiv": (169343, 1166243, 128, 40, False),
+    "ogbn-products": (2449029, 123718280, 100, 47, False),
+}
+
+
+def toy_graph() -> Tuple[Graph, int, bool]:
+    """5-node/4-edge deterministic fixture, parity with load_graph.py:91-120.
+
+    Edges ([2,3,3,4] -> [0,0,1,1]), 4-d one-hot-ish features, binary labels,
+    all-train masks, edge weights [0.5, 0.5, 0.3, 0.7].
+    """
+    src = np.array([2, 3, 3, 4])
+    dst = np.array([0, 0, 1, 1])
+    ndata = {
+        "features": np.array(
+            [[0, 1, 0, 0], [0, 0, 1, 0], [0, 0, 1, 0], [0, 0, 0, 1], [1, 0, 0, 0]],
+            dtype=np.float32,
+        ),
+        "labels": np.array([0, 0, 1, 1, 1], dtype=np.int64),
+        "train_mask": np.ones(5, dtype=bool),
+        "val_mask": np.zeros(5, dtype=bool),
+        "test_mask": np.zeros(5, dtype=bool),
+    }
+    edata = {"weight": np.array([0.5, 0.5, 0.3, 0.7], dtype=np.float32)}
+    return Graph(src, dst, 5, ndata=ndata, edata=edata), 2, False
+
+
+def synthetic_graph(
+    n_nodes: int,
+    n_edges: int,
+    n_feats: int,
+    n_classes: int,
+    multilabel: bool = False,
+    seed: int = 0,
+    power: float = 0.8,
+) -> Tuple[Graph, int, bool]:
+    """Power-law random graph with clustered features for benchmark runs.
+
+    Degree distribution follows a Zipf-like law (real social/citation graphs
+    are heavy-tailed; Reddit's max in-degree is ~21k).  Features are noisy
+    class prototypes so that GNN training makes measurable progress.
+    """
+    rng = np.random.default_rng(seed)
+    # dst endpoints ~ power-law popularity
+    pop = rng.zipf(1.0 + power, size=n_nodes).astype(np.float64)
+    pop /= pop.sum()
+    dst = rng.choice(n_nodes, size=n_edges, p=pop)
+    src = rng.integers(0, n_nodes, size=n_edges)
+    labels_int = rng.integers(0, n_classes, size=n_nodes)
+    protos = rng.normal(size=(n_classes, n_feats)).astype(np.float32)
+    feats = protos[labels_int] + rng.normal(scale=2.0, size=(n_nodes, n_feats)).astype(
+        np.float32
+    )
+    if multilabel:
+        labels = np.zeros((n_nodes, n_classes), dtype=np.float32)
+        labels[np.arange(n_nodes), labels_int] = 1.0
+        extra = rng.integers(0, n_classes, size=n_nodes)
+        labels[np.arange(n_nodes), extra] = 1.0
+    else:
+        labels = labels_int.astype(np.int64)
+    perm = rng.permutation(n_nodes)
+    n_train = int(0.65 * n_nodes)
+    n_val = int(0.1 * n_nodes)
+    train_mask = np.zeros(n_nodes, dtype=bool)
+    val_mask = np.zeros(n_nodes, dtype=bool)
+    test_mask = np.zeros(n_nodes, dtype=bool)
+    train_mask[perm[:n_train]] = True
+    val_mask[perm[n_train : n_train + n_val]] = True
+    test_mask[perm[n_train + n_val :]] = True
+    ndata = {
+        "features": feats,
+        "labels": labels,
+        "train_mask": train_mask,
+        "val_mask": val_mask,
+        "test_mask": test_mask,
+    }
+    return Graph(src, dst, n_nodes, ndata=ndata), n_classes, multilabel
+
+
+# ---------------------------------------------------------------------------
+# On-disk loaders (standard public formats; no downloads in this environment)
+# ---------------------------------------------------------------------------
+
+
+def _planetoid_dir(name: str) -> str:
+    for cand in (
+        os.path.join(DATA_ROOT, name),
+        os.path.join(DATA_ROOT, "planetoid"),
+        DATA_ROOT,
+    ):
+        if os.path.exists(os.path.join(cand, f"ind.{name}.graph")):
+            return cand
+    raise FileNotFoundError(
+        f"planetoid raw files 'ind.{name}.*' not found under {DATA_ROOT}; "
+        f"set BLISS_DATA_ROOT or use the synthetic stand-in "
+        f"(load_dataset('synth-{name}'))."
+    )
+
+
+def _load_planetoid(name: str) -> Tuple[Graph, int, bool]:
+    """Parse the ind.<name>.{x,y,tx,ty,allx,ally,graph,test.index} family."""
+    import scipy.sparse as sp
+
+    d = _planetoid_dir(name)
+
+    def _pkl(suffix):
+        with open(os.path.join(d, f"ind.{name}.{suffix}"), "rb") as f:
+            if sys.version_info.major > 2:
+                return pickle.load(f, encoding="latin1")
+            return pickle.load(f)
+
+    x, y, tx, ty, allx, ally, graph = (
+        _pkl(s) for s in ["x", "y", "tx", "ty", "allx", "ally", "graph"]
+    )
+    test_idx = np.loadtxt(
+        os.path.join(d, f"ind.{name}.test.index"), dtype=np.int64
+    )
+    test_range = np.arange(test_idx.min(), test_idx.max() + 1)
+    if name == "citeseer":
+        # citeseer has isolated test nodes missing from tx/ty
+        tx_ext = sp.lil_matrix((len(test_range), x.shape[1]))
+        tx_ext[test_idx - test_idx.min(), :] = tx
+        tx = tx_ext
+        ty_ext = np.zeros((len(test_range), y.shape[1]))
+        ty_ext[test_idx - test_idx.min(), :] = ty
+        ty = ty_ext
+    features = sp.vstack((allx, tx)).tolil()
+    features[test_idx, :] = features[test_range, :]
+    labels_oh = np.vstack((ally, ty))
+    labels_oh[test_idx, :] = labels_oh[test_range, :]
+    labels = labels_oh.argmax(axis=1)
+    n = features.shape[0]
+    src, dst = [], []
+    for u, nbrs in graph.items():
+        for v in nbrs:
+            src.append(u)
+            dst.append(v)
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    # planetoid graphs are symmetric dicts; standard loaders symmetrize
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    n_train = {"cora": 140, "citeseer": 120, "pubmed": 60}[name]
+    train_mask = np.zeros(n, dtype=bool)
+    train_mask[:n_train] = True
+    val_mask = np.zeros(n, dtype=bool)
+    val_mask[n_train : n_train + 500] = True
+    test_mask = np.zeros(n, dtype=bool)
+    test_mask[test_idx] = True
+    ndata = {
+        "features": np.asarray(features.todense(), dtype=np.float32),
+        "labels": labels.astype(np.int64),
+        "train_mask": train_mask,
+        "val_mask": val_mask,
+        "test_mask": test_mask,
+    }
+    return Graph(src, dst, n, ndata=ndata), labels_oh.shape[1], False
+
+
+def _load_saint_npz(name: str) -> Tuple[Graph, int, bool]:
+    """GraphSAINT format: adj_full.npz, feats.npy, class_map.json, role.json."""
+    import scipy.sparse as sp
+
+    d = os.path.join(DATA_ROOT, name)
+    if not os.path.exists(os.path.join(d, "adj_full.npz")):
+        raise FileNotFoundError(
+            f"GraphSAINT files for '{name}' not found under {d}; "
+            f"set BLISS_DATA_ROOT or use load_dataset('synth-{name}')."
+        )
+    adj = sp.load_npz(os.path.join(d, "adj_full.npz")).tocoo()
+    feats = np.load(os.path.join(d, "feats.npy")).astype(np.float32)
+    with open(os.path.join(d, "class_map.json")) as f:
+        class_map = json.load(f)
+    with open(os.path.join(d, "role.json")) as f:
+        role = json.load(f)
+    n = feats.shape[0]
+    first = next(iter(class_map.values()))
+    multilabel = isinstance(first, list)
+    if multilabel:
+        n_classes = len(first)
+        labels = np.zeros((n, n_classes), dtype=np.float32)
+        for k, v in class_map.items():
+            labels[int(k)] = v
+    else:
+        labels = np.zeros(n, dtype=np.int64)
+        for k, v in class_map.items():
+            labels[int(k)] = v
+        n_classes = int(labels.max()) + 1
+    masks = {}
+    for split, key in [("train_mask", "tr"), ("val_mask", "va"), ("test_mask", "te")]:
+        m = np.zeros(n, dtype=bool)
+        m[np.asarray(role[key])] = True
+        masks[split] = m
+    ndata = {"features": feats, "labels": labels, **masks}
+    return Graph(adj.row, adj.col, n, ndata=ndata), n_classes, multilabel
+
+
+def _load_ogb(name: str) -> Tuple[Graph, int, bool]:
+    """OGB node-prop layout: <root>/<name_>/raw/*.csv.gz + split/..."""
+    under = name.replace("-", "_")
+    d = os.path.join(DATA_ROOT, under)
+    raw = os.path.join(d, "raw")
+    if not os.path.exists(raw):
+        raise FileNotFoundError(
+            f"OGB raw dir for '{name}' not found at {raw}; "
+            f"set BLISS_DATA_ROOT or use load_dataset('synth-{name}')."
+        )
+    import pandas as pd
+
+    edges = pd.read_csv(
+        os.path.join(raw, "edge.csv.gz"), header=None
+    ).values.astype(np.int64)
+    feats = pd.read_csv(
+        os.path.join(raw, "node-feat.csv.gz"), header=None
+    ).values.astype(np.float32)
+    labels = pd.read_csv(
+        os.path.join(raw, "node-label.csv.gz"), header=None
+    ).values.reshape(-1).astype(np.int64)
+    n = feats.shape[0]
+    split_dir = os.path.join(d, "split", "time" if "arxiv" in name else "sales_ranking")
+    masks = {}
+    for split, fname in [
+        ("train_mask", "train.csv.gz"),
+        ("val_mask", "valid.csv.gz"),
+        ("test_mask", "test.csv.gz"),
+    ]:
+        idx = pd.read_csv(os.path.join(split_dir, fname), header=None).values.reshape(-1)
+        m = np.zeros(n, dtype=bool)
+        m[idx] = True
+        masks[split] = m
+    n_classes = int(labels[~np.isnan(labels.astype(np.float64))].max()) + 1
+    ndata = {"features": feats, "labels": labels, **masks}
+    return Graph(edges[:, 0], edges[:, 1], n, ndata=ndata), n_classes, False
+
+
+def load_dataset(name: str, seed: int = 0) -> Tuple[Graph, int, bool]:
+    """Dispatch mirroring load_graph.py:65-80, plus 'synth-*' stand-ins.
+
+    'synth-<dataset>' generates a random graph with the same node/edge/feature
+    dimensions as <dataset> (see DATASET_STATS) for benchmarking without the
+    raw files.  'synth-small' is a fast CI-scale graph.
+    """
+    name = name.lower()
+    if name == "toy":
+        return toy_graph()
+    if name.startswith("synth-"):
+        base = name[len("synth-") :]
+        if base == "small":
+            return synthetic_graph(2000, 20000, 64, 7, seed=seed)
+        if base in DATASET_STATS:
+            n, e, f, c, ml = DATASET_STATS[base]
+            return synthetic_graph(n, e, f, c, multilabel=ml, seed=seed)
+        raise ValueError(f"unknown synthetic dataset '{name}'")
+    if name in ("cora", "citeseer", "pubmed"):
+        return _load_planetoid(name)
+    if name in ("reddit", "yelp", "flickr"):
+        return _load_saint_npz(name)
+    if name.startswith("ogbn-"):
+        return _load_ogb(name)
+    raise ValueError(f"unknown dataset '{name}'")

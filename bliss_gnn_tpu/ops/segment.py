@@ -1,0 +1,150 @@
+"""Masked segment ops — the TPU-native g-SpMM / g-SDDMM layer.
+
+The reference leans on DGL's CUDA gspmm/gsddmm kernels for every sparse op
+(SURVEY.md §2b): ``copy_e_sum``, ``e_div_u``, ``e_div_v``, ``v_add_e``,
+``e_mul_v``, ``u_div_e``, ``e_dot_v``, ``u_add_v``, ``edge_softmax``, and the
+``u_mul_e -> sum`` message passing inside SAGEConv/GraphConv/GATv2Conv.
+
+Here every sparse structure is a *padded edge list*: parallel arrays
+``(e_src, e_dst, mask)`` of static length, where masked slots are ignored.
+The g-SDDMM family degenerates to gathers + elementwise ops (XLA fuses these);
+the g-SpMM family is a masked segment-sum.  A Pallas CSR kernel backs the
+full-graph SpMM path (ops/spmm_pallas.py); these jnp forms are the
+reference/correctness implementations and the default for sampled blocks,
+where XLA's scatter-add + fusion is already strong.
+
+Masking convention: out-of-range / padded edges carry ``mask == False``; data
+is zeroed and indices clipped so no padded slot contributes.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _clip_ids(ids: jax.Array, n: int, mask: Optional[jax.Array]) -> jax.Array:
+    if mask is None:
+        return ids
+    return jnp.where(mask, ids, 0)
+
+
+def _mask_data(data: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    if mask is None:
+        return data
+    m = mask
+    while m.ndim < data.ndim:
+        m = m[..., None]
+    return jnp.where(m, data, jnp.zeros((), dtype=data.dtype))
+
+
+def masked_segment_sum(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """sum of data over segments; masked slots contribute zero.
+
+    data: [E, ...]; segment_ids: [E] in [0, num_segments); out [num_segments, ...].
+    """
+    data = _mask_data(data, mask)
+    ids = _clip_ids(segment_ids, num_segments, mask)
+    return jax.ops.segment_sum(data, ids, num_segments=num_segments)
+
+
+def masked_segment_max(
+    data: jax.Array,
+    segment_ids: jax.Array,
+    num_segments: int,
+    mask: Optional[jax.Array] = None,
+    initial: float = -jnp.inf,
+) -> jax.Array:
+    if mask is not None:
+        m = mask
+        while m.ndim < data.ndim:
+            m = m[..., None]
+        data = jnp.where(m, data, jnp.full((), initial, dtype=data.dtype))
+        segment_ids = jnp.where(mask, segment_ids, 0)
+    return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+
+
+# -- DGL-named aliases over padded edge lists -------------------------------
+
+
+def copy_e_sum(e_vals, e_dst, n_dst, mask=None):
+    """dgl.ops.copy_e_sum: per-dst sum of edge values (bandit_sampler.py:67,129)."""
+    return masked_segment_sum(e_vals, e_dst, n_dst, mask)
+
+
+def gather_u(x_src, e_src, mask=None):
+    """Per-edge gather of the src-node operand (the 'u' side of g-SDDMM)."""
+    out = jnp.take(x_src, e_src, axis=0)
+    return _mask_data(out, mask)
+
+
+def gather_v(x_dst, e_dst, mask=None):
+    """Per-edge gather of the dst-node operand (the 'v' side of g-SDDMM)."""
+    out = jnp.take(x_dst, e_dst, axis=0)
+    return _mask_data(out, mask)
+
+
+def u_mul_e_sum(x_src, e_src, e_vals, e_dst, n_dst, mask=None):
+    """SpMM: sum_{e into i} w_e * x[src(e)]  (fn.u_mul_e + fn.sum, model.py:98,
+    SAGEConv/GraphConv message passing).
+
+    x_src [N_src, F]; e_vals [E] or [E, H]; out [n_dst, F] (or [n_dst, H, F']).
+    """
+    msg = jnp.take(x_src, e_src, axis=0)
+    w = e_vals
+    while w.ndim < msg.ndim:
+        w = w[..., None]
+    return masked_segment_sum(msg * w.astype(msg.dtype), e_dst, n_dst, mask)
+
+
+def copy_u_sum(x_src, e_src, e_dst, n_dst, mask=None):
+    """SpMM with unit weights: sum_{e into i} x[src(e)]."""
+    msg = jnp.take(x_src, e_src, axis=0)
+    return masked_segment_sum(msg, e_dst, n_dst, mask)
+
+
+def segment_mean(data, segment_ids, num_segments, mask=None):
+    """Per-segment mean; empty segments yield 0 (DGL fn.mean semantics)."""
+    s = masked_segment_sum(data, segment_ids, num_segments, mask)
+    ones = jnp.ones(data.shape[0], dtype=jnp.float32)
+    cnt = masked_segment_sum(ones, segment_ids, num_segments, mask)
+    cnt = jnp.maximum(cnt, 1.0)
+    while cnt.ndim < s.ndim:
+        cnt = cnt[..., None]
+    return s / cnt.astype(s.dtype)
+
+
+def edge_softmax(
+    logits: jax.Array,
+    e_dst: jax.Array,
+    n_dst: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Segment softmax of edge scores over incoming edges per dst
+    (dglnn.functional.edge_softmax, model.py:89).
+
+    logits: [E] or [E, H]; returns same shape; masked edges get 0.
+    Numerically stabilized with a per-segment max subtraction.
+    """
+    compute = logits.astype(jnp.float32)
+    seg_max = masked_segment_max(compute, e_dst, n_dst, mask)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    shifted = compute - jnp.take(seg_max, _clip_ids(e_dst, n_dst, mask), axis=0)
+    ex = jnp.exp(shifted)
+    ex = _mask_data(ex, mask)
+    denom = masked_segment_sum(ex, e_dst, n_dst, mask)
+    denom = jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
+    out = ex / jnp.take(denom, _clip_ids(e_dst, n_dst, mask), axis=0)
+    return _mask_data(out, mask).astype(logits.dtype)
+
+
+def segment_count(segment_ids, num_segments, mask=None) -> jax.Array:
+    """Per-segment edge counts (in-degrees of a padded edge list)."""
+    ones = jnp.ones(segment_ids.shape[0], dtype=jnp.int32)
+    return masked_segment_sum(ones, segment_ids, num_segments, mask)

@@ -1,0 +1,178 @@
+"""Block (message-flow graph) pytree and static capacity planning.
+
+The reference's samplers return lists of DGL MFG blocks with dynamic shapes
+(dgl.to_block at bandit_sampler.py:322 / ladies_sampler.py:99).  XLA wants
+static shapes, so a Block here is a *capacity-padded* bipartite graph:
+
+- a src-node table of static size ``n_src_cap`` whose first ``n_dst_cap``
+  slots are the dst (seed) nodes — mirroring dgl.to_block's convention that
+  dst nodes occupy the first src slots, which models rely on for
+  ``h_dst = h_src[:num_dst]``;
+- a padded edge list of static size ``e_cap`` with masks.
+
+Blocks carry the side-channel data the bandit needs (SURVEY.md §2a row 5):
+``e_weight`` (the debiased W-tilde, dgl edata['edge_weights']), ``e_q``
+(edata['q_ij']), ``src_node_prob`` (srcdata['node_prob']), and global ``eid``
+(edata[dgl.EID]) for the EXP3 scatter update.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Block:
+    """A capacity-padded bipartite message-flow graph."""
+
+    # node table; slots [0, n_dst_cap) are the dst/seed slots
+    src_gids: jax.Array  # [n_src_cap] int32 — global node ids
+    src_mask: jax.Array  # [n_src_cap] bool
+    # padded edge list; positions reference the src table / dst slots
+    e_src: jax.Array  # [e_cap] int32 — position into src table
+    e_dst: jax.Array  # [e_cap] int32 — position in [0, n_dst_cap)
+    e_mask: jax.Array  # [e_cap] bool
+    eid: jax.Array  # [e_cap] int32 — canonical global edge ids
+    e_weight: jax.Array  # [e_cap] f32 — debiased aggregation weight W-tilde
+    e_q: jax.Array  # [e_cap] f32 — edge sampling prob q_ij (bandit)
+    src_node_prob: jax.Array  # [n_src_cap] f32 — node prob P (bandit)
+    n_dst_cap: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def n_src_cap(self) -> int:
+        return self.src_gids.shape[0]
+
+    @property
+    def e_cap(self) -> int:
+        return self.e_src.shape[0]
+
+    @property
+    def dst_gids(self) -> jax.Array:
+        return self.src_gids[: self.n_dst_cap]
+
+    @property
+    def dst_mask(self) -> jax.Array:
+        return self.src_mask[: self.n_dst_cap]
+
+    def num_src(self) -> jax.Array:
+        return jnp.sum(self.src_mask.astype(jnp.int32))
+
+    def num_dst(self) -> jax.Array:
+        return jnp.sum(self.dst_mask.astype(jnp.int32))
+
+    def num_edges(self) -> jax.Array:
+        return jnp.sum(self.e_mask.astype(jnp.int32))
+
+    def in_degrees(self) -> jax.Array:
+        """Kept-edge in-degree per dst slot (mfg.in_degrees()[:n_dst])."""
+        ids = jnp.where(self.e_mask, self.e_dst, 0)
+        ones = jnp.where(self.e_mask, 1, 0)
+        return jax.ops.segment_sum(ones, ids, num_segments=self.n_dst_cap)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityPlan:
+    """Static per-layer capacities for one sampling configuration.
+
+    Layers are indexed like the reference's ``nodes_per_layer`` (fanouts):
+    index 0 is the input-most layer; sampling processes them in reversed
+    order (bandit_sampler.py:350).  For block l:
+
+    - ``dst_caps[l]``      — seed-table capacity feeding block l
+    - ``frontier_caps[l]`` — padded in-subgraph edge capacity (pre-sampling)
+    - ``cand_caps[l]``     — candidate (compacted node) capacity
+    - ``block_e_caps[l]``  — kept-edge capacity after sampling
+
+    Overflow beyond a capacity truncates (tracked in sampler stats); the
+    defaults are sized from graph degree statistics with slack.
+    """
+
+    batch_size: int
+    fanouts: Tuple[int, ...]
+    dst_caps: Tuple[int, ...]
+    extra_caps: Tuple[int, ...]  # capacity for non-seed sampled src nodes
+    frontier_caps: Tuple[int, ...]
+    cand_caps: Tuple[int, ...]
+    block_e_caps: Tuple[int, ...]
+
+    @staticmethod
+    def build(
+        batch_size: int,
+        fanouts: Sequence[int],
+        n_nodes: int,
+        n_edges: int,
+        kind: str = "ladies",
+        avg_degree: float | None = None,
+        frontier_slack: float = 8.0,
+        block_edge_slack: float = 4.0,
+        max_frontier_edges: int | None = None,
+        align: int = 128,
+    ) -> "CapacityPlan":
+        """Size the per-layer capacities for a sampler family.
+
+        ``kind``: 'ladies'/'poisson-ladies'/'bandit'/'poisson-bandit' treat
+        fanouts as a *total* per-layer node budget (nodes_per_layer,
+        ladies_sampler.py:27); 'neighbor' treats them as per-seed fan-outs
+        (dgl NeighborSampler); 'full' keeps every in-edge.
+        """
+        fanouts = tuple(int(f) for f in fanouts)
+        L = len(fanouts)
+        if avg_degree is None:
+            avg_degree = max(1.0, n_edges / max(1, n_nodes))
+
+        layerwise = kind not in ("neighbor", "full")
+        dst_caps = [0] * L
+        extra_caps = [0] * L
+        frontier_caps = [0] * L
+        cand_caps = [0] * L
+        block_e_caps = [0] * L
+
+        cap = batch_size
+        for l in reversed(range(L)):
+            dst_caps[l] = cap
+            fcap = int(cap * avg_degree * frontier_slack)
+            fcap = min(fcap, n_edges)
+            if max_frontier_edges is not None:
+                fcap = min(fcap, max_frontier_edges)
+            fcap = max(fcap, cap)  # at least the self-loops
+            fcap = _round_up(fcap, align)
+            frontier_caps[l] = fcap
+
+            if layerwise:
+                extra = fanouts[l]
+                becap = int(min(fcap, max(
+                    (cap + extra) * block_edge_slack * max(1.0, avg_degree) ** 0.5,
+                    4 * (cap + extra),
+                )))
+            elif kind == "neighbor":
+                extra = min(cap * fanouts[l], n_nodes)
+                becap = cap * fanouts[l]
+            else:  # full
+                extra = min(fcap, n_nodes)
+                becap = fcap
+            extra_caps[l] = extra
+            block_e_caps[l] = min(_round_up(max(becap, cap), align), fcap)
+            # +1 slot: the sentinel consumes one unique() slot under padding
+            cand_caps[l] = _round_up(min(n_nodes + 1, cap + fcap + 1), align)
+            cap = cap + extra  # next layer's seed table = this src table
+
+        return CapacityPlan(
+            batch_size=batch_size,
+            fanouts=fanouts,
+            dst_caps=tuple(dst_caps),
+            extra_caps=tuple(extra_caps),
+            frontier_caps=tuple(frontier_caps),
+            cand_caps=tuple(cand_caps),
+            block_e_caps=tuple(block_e_caps),
+        )
+
+    def src_cap(self, l: int) -> int:
+        return self.dst_caps[l] + self.extra_caps[l]

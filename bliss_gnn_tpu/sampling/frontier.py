@@ -1,0 +1,138 @@
+"""On-device subgraph algebra: static-shape in_subgraph + compact_graphs.
+
+Replaces the DGL C++ structure ops the reference calls per sampling step
+(dgl.in_subgraph bandit_sampler.py:123, dgl.compact_graphs :125,
+dgl.subgraph/edge_subgraph :289-298, dgl.to_block :322) with fused
+gather/sort/relabel jnp programs of static shape:
+
+- ``gather_in_edges``: flatten the ragged CSC rows of the seed set into a
+  capacity-padded edge list via an exclusive-cumsum + searchsorted ownership
+  map (no host round-trips, no dynamic shapes).
+- ``compact_candidates``: sorted-unique relabeling of the frontier endpoint
+  set (dgl.compact_graphs) using jnp.unique with a static size and an
+  INT32_MAX sentinel.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+class Frontier(NamedTuple):
+    """Padded in-subgraph of a seed set (all in-edges of valid seeds)."""
+
+    eid: jax.Array  # [e_cap] canonical global edge ids
+    src_gid: jax.Array  # [e_cap] global src node id per edge
+    dst_spos: jax.Array  # [e_cap] dst's position in the seeds array
+    e_mask: jax.Array  # [e_cap]
+    total_edges: jax.Array  # scalar — true (pre-truncation) edge count
+
+
+def gather_in_edges(
+    csc_indptr: jax.Array,
+    csc_src: jax.Array,
+    seeds: jax.Array,
+    seeds_mask: jax.Array,
+    e_cap: int,
+) -> Frontier:
+    """dgl.in_subgraph as a static-shape flatten of CSC rows.
+
+    For each output slot e in [0, e_cap), ownership is found by binary search
+    over the exclusive cumsum of seed in-degrees; slots beyond the true edge
+    count (or seeds beyond capacity) are masked.  Truncation (total > e_cap)
+    drops trailing seeds' edges and is reported via ``total_edges``.
+    """
+    n_seeds = seeds.shape[0]
+    safe_seeds = jnp.where(seeds_mask, seeds, 0)
+    deg = jnp.where(
+        seeds_mask,
+        jnp.take(csc_indptr, safe_seeds + 1) - jnp.take(csc_indptr, safe_seeds),
+        0,
+    ).astype(jnp.int32)
+    off = jnp.cumsum(deg) - deg  # exclusive cumsum [n_seeds]
+    total = jnp.sum(deg)
+    pos = jnp.arange(e_cap, dtype=jnp.int32)
+    owner = (
+        jnp.searchsorted(off, pos, side="right").astype(jnp.int32) - 1
+    )
+    owner = jnp.clip(owner, 0, n_seeds - 1)
+    e_mask = pos < jnp.minimum(total, e_cap)
+    within = pos - jnp.take(off, owner)
+    eid = (
+        jnp.take(csc_indptr, jnp.take(safe_seeds, owner)) + within
+    ).astype(jnp.int32)
+    eid = jnp.where(e_mask, eid, 0)
+    src = jnp.where(e_mask, jnp.take(csc_src, eid).astype(jnp.int32), 0)
+    return Frontier(
+        eid=eid,
+        src_gid=src,
+        dst_spos=jnp.where(e_mask, owner, 0),
+        e_mask=e_mask,
+        total_edges=total,
+    )
+
+
+class Candidates(NamedTuple):
+    """Compacted (sorted-unique) node set of a frontier: seeds ∪ srcs."""
+
+    gids: jax.Array  # [c_cap] sorted ascending, SENTINEL-padded
+    mask: jax.Array  # [c_cap]
+    n: jax.Array  # scalar — number of valid candidates
+    src_cpos: jax.Array  # [e_cap] candidate position of each edge's src
+    seed_cpos: jax.Array  # [n_seeds] candidate position of each seed
+    is_seed: jax.Array  # [c_cap] candidate-is-a-seed mask
+
+
+def compact_candidates(
+    seeds: jax.Array,
+    seeds_mask: jax.Array,
+    frontier: Frontier,
+    c_cap: int,
+) -> Candidates:
+    """dgl.compact_graphs(insg, always_preserve=seeds) as sorted-unique.
+
+    Candidate order is ascending global id (a relabeling choice — the
+    reference's compaction order differs, but all downstream math is
+    order-invariant).  The SENTINEL occupies one slot when padding exists.
+    """
+    vals = jnp.concatenate(
+        [
+            jnp.where(seeds_mask, seeds, SENTINEL),
+            jnp.where(frontier.e_mask, frontier.src_gid, SENTINEL),
+        ]
+    )
+    gids = jnp.unique(vals, size=c_cap, fill_value=SENTINEL)
+    mask = gids != SENTINEL
+    n = jnp.sum(mask.astype(jnp.int32))
+    src_cpos = jnp.searchsorted(gids, frontier.src_gid).astype(jnp.int32)
+    src_cpos = jnp.where(frontier.e_mask, jnp.clip(src_cpos, 0, c_cap - 1), 0)
+    seed_cpos = jnp.searchsorted(gids, seeds).astype(jnp.int32)
+    seed_cpos = jnp.where(seeds_mask, jnp.clip(seed_cpos, 0, c_cap - 1), 0)
+    # scatter-max so masked seeds (writing False at slot 0) cannot clobber
+    is_seed = (
+        jnp.zeros(c_cap, dtype=bool).at[seed_cpos].max(seeds_mask, mode="drop")
+        & mask
+    )
+    return Candidates(
+        gids=gids, mask=mask, n=n, src_cpos=src_cpos,
+        seed_cpos=seed_cpos, is_seed=is_seed,
+    )
+
+
+def compact_by_mask(mask: jax.Array, out_cap: int):
+    """Stable compaction: indices of True entries packed into ``out_cap``
+    slots (the cumsum/sort equivalent of boolean indexing).
+
+    Returns (idx [out_cap], out_mask [out_cap], n) — idx of padded slots is 0.
+    Overflow (n > out_cap) truncates to the first out_cap True entries.
+    """
+    n_in = mask.shape[0]
+    order = jnp.argsort(~mask, stable=True).astype(jnp.int32)
+    idx = order[:out_cap]
+    n = jnp.sum(mask.astype(jnp.int32))
+    out_mask = jnp.arange(out_cap, dtype=jnp.int32) < n
+    return jnp.where(out_mask, idx, 0), out_mask, n

@@ -1,0 +1,633 @@
+"""Layer-wise importance samplers as pure, jittable device functions.
+
+TPU-native re-design of the reference's sampler stack (SURVEY.md §2a rows
+3-6):
+
+- LADIES                      (ladies_sampler.py:24-123)
+- Poisson-LADIES              (ladies_sampler.py:125-183)
+- Bandit-LADIES (EXP3)        (bandit_sampler.py:29-367)
+- Poisson-Bandit (headline)   (bandit_sampler.py:369-425)
+- uniform neighbor / full-neighbor baselines (train_lightning.py:349-357)
+
+Design departures from the reference (deliberate, TPU-first):
+- everything is static-shape: frontiers/candidates/blocks are capacity-padded
+  (see CapacityPlan); overflow truncates and is counted in stats;
+- ``torch.multinomial(replacement=False)`` becomes Gumbel top-k (exact
+  equivalence for sampling-without-replacement);
+- the Poisson fixed-point scaling loop — 50 host round-trips per layer in the
+  reference (bandit_sampler.py:396-401, ``.item()`` syncs) — runs on device
+  inside ``lax.while_loop``;
+- the whole multi-layer sampling pass is one traced function fused into the
+  training step: no host work per step.
+
+EXP3 semantics preserved exactly (probabilities bandit_sampler.py:101-138,
+node probs :47-82, debiased block weights :269-339, rewards :140-193, weight
+update :195-249) — see the per-function docstrings.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bliss_gnn_tpu.graph.structure import DeviceGraph
+from bliss_gnn_tpu.ops.segment import (
+    masked_segment_sum,
+    segment_count,
+)
+from bliss_gnn_tpu.sampling.block import Block, CapacityPlan
+from bliss_gnn_tpu.sampling.frontier import (
+    Candidates,
+    Frontier,
+    compact_by_mask,
+    compact_candidates,
+    gather_in_edges,
+)
+
+LADIES_FAMILY = ("ladies", "poisson-ladies", "bandit", "poisson-bandit")
+ALL_KINDS = LADIES_FAMILY + ("neighbor", "full")
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Static sampler configuration (mirrors the samplers' __init__ knobs)."""
+
+    kind: str = "poisson-bandit"
+    fanouts: Tuple[int, ...] = (512, 256, 128)
+    importance_sampling: bool = True
+    eta: float = 0.1  # CLI default (train_lightning.py:517)
+    replace: bool = False
+    poisson_eps: float = 0.9999  # bandit_sampler.py:379
+    poisson_iters: int = 50  # bandit_sampler.py:396
+    exp3_delta: float = 0.01  # bandit_sampler.py:233 (constant; paper formula
+    # is commented out in the reference)
+    model: str = "sage"  # 'gat' switches the alpha computation
+
+    def __post_init__(self):
+        if self.kind not in ALL_KINDS:
+            raise ValueError(f"unknown sampler kind {self.kind!r}")
+        if self.replace:
+            raise NotImplementedError(
+                "replacement sampling is unused by the reference CLI and not "
+                "implemented"
+            )
+
+    @property
+    def is_bandit(self) -> bool:
+        return "bandit" in self.kind
+
+    @property
+    def is_poisson(self) -> bool:
+        return "poisson" in self.kind
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.fanouts)
+
+
+def init_exp3_weights(
+    n_layers: int, n_edges: int, dtype=jnp.bfloat16
+) -> jax.Array:
+    """Lazily-allocated ones in the reference (bandit_sampler.py:342-343)."""
+    return jnp.ones((n_layers, n_edges), dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# per-layer probability computations
+# ---------------------------------------------------------------------------
+
+
+def _exp3_edge_prob(
+    graph: DeviceGraph,
+    exp3_row: jax.Array,
+    eta: float,
+    frontier: Frontier,
+    seeds: jax.Array,
+    n_seed_cap: int,
+) -> jax.Array:
+    """q_ij = (1-eta) * w_ij / sum_j w_ij + eta / n_i over the frontier.
+
+    Parity: bandit_sampler.py:101-138 (exp3_probabilities).  n_i is the
+    *full-graph* in-degree of the edge's dst (g.in_degrees at :133).
+    Computed in f32 (the reference runs bf16; f32 is free on the VPU and
+    strictly more accurate).
+    """
+    ew = jnp.take(exp3_row, frontier.eid).astype(jnp.float32)
+    sum_dst = masked_segment_sum(
+        ew, frontier.dst_spos, n_seed_cap, frontier.e_mask
+    )
+    denom = jnp.take(sum_dst, frontier.dst_spos)
+    w_hat = jnp.where(denom > 0, ew / jnp.where(denom > 0, denom, 1.0), 0.0)
+    dst_gid = jnp.take(seeds, frontier.dst_spos)
+    n_i = (
+        jnp.take(graph.csc_indptr, dst_gid + 1)
+        - jnp.take(graph.csc_indptr, dst_gid)
+    ).astype(jnp.float32)
+    q = (1.0 - eta) * w_hat + eta / jnp.maximum(n_i, 1.0)
+    return jnp.where(frontier.e_mask, q, 0.0)
+
+
+def _importance_node_prob(
+    edge_prob: jax.Array,
+    frontier: Frontier,
+    cand: Candidates,
+    n_seed_cap: int,
+    normalize_per_dst: bool,
+) -> jax.Array:
+    """q_j = sqrt( sum_i (q_ij / sum_k q_ik)^2 ) over candidate nodes j.
+
+    Parity: bandit_sampler.py:47-82 (normalize_per_dst=True) and
+    ladies_sampler.py:44-48 (normalize_per_dst=False: LADIES uses the raw
+    normalized graph weights, already per-dst-normalized upstream).
+    """
+    c_cap = cand.gids.shape[0]
+    if normalize_per_dst:
+        s_i = masked_segment_sum(
+            edge_prob, frontier.dst_spos, n_seed_cap, frontier.e_mask
+        )
+        denom = jnp.take(s_i, frontier.dst_spos)
+        r = jnp.where(denom > 0, edge_prob / jnp.where(denom > 0, denom, 1.0), 0.0)
+    else:
+        r = edge_prob
+    prob = jnp.sqrt(
+        masked_segment_sum(r * r, cand.src_cpos, c_cap, frontier.e_mask)
+    )
+    return jnp.where(cand.mask, prob, 0.0)
+
+
+def _uniform_node_prob(frontier: Frontier, cand: Candidates) -> jax.Array:
+    """importance_sampling=0 branch: prob 1 for frontier sources, 0 otherwise
+    (bandit_sampler.py:77-81, ladies_sampler.py:49-51)."""
+    c_cap = cand.gids.shape[0]
+    out_deg = segment_count(cand.src_cpos, c_cap, frontier.e_mask)
+    return jnp.where(cand.mask & (out_deg > 0), 1.0, 0.0)
+
+
+def _poisson_scale(
+    prob: jax.Array,
+    cand: Candidates,
+    num: int,
+    eps: float,
+    iters: int,
+) -> jax.Array:
+    """Fixed-point cap/scale: find c with sum(min(c*q, 1)) ~= num, then
+    p = min(c*q, 1) with seeds forced to 1.
+
+    Parity: bandit_sampler.py:381-406 / ladies_sampler.py:140-164, but the
+    loop runs on device (lax.while_loop, f32) instead of 50 host .item()
+    syncs per layer.  When n_candidates <= num, p = 1 for all candidates.
+    """
+    probf = prob.astype(jnp.float32)
+
+    def cond(state):
+        i, c, done = state
+        return (i < iters) & jnp.logical_not(done)
+
+    def body(state):
+        i, c, _ = state
+        s = jnp.sum(jnp.where(cand.mask, jnp.minimum(probf * c, 1.0), 0.0))
+        ratio = jnp.minimum(s, num) / jnp.maximum(jnp.maximum(s, num), 1e-30)
+        done = ratio >= eps
+        c_new = jnp.where(done | (s <= 0), c, c * num / jnp.maximum(s, 1e-30))
+        return i + 1, c_new, done
+
+    _, c, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.float32(1.0), jnp.bool_(False))
+    )
+    p = jnp.minimum(probf * c, 1.0)
+    p = jnp.where(cand.is_seed, 1.0, p)  # prob[seeds] = inf -> min(...,1) = 1
+    p = jnp.where(cand.n <= num, 1.0, p)
+    return jnp.where(cand.mask, p, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# selection
+# ---------------------------------------------------------------------------
+
+
+def _gumbel_topk_select(
+    key: jax.Array, prob: jax.Array, cand_mask: jax.Array, k: int
+) -> jax.Array:
+    """Weighted sampling of k candidates without replacement via Gumbel
+    top-k — the exact equivalent of torch.multinomial(prob, k,
+    replacement=False) (ladies_sampler.py:68, bandit_sampler.py:98).
+
+    Returns a selection mask over candidates.  Zero-probability or padded
+    candidates carry -inf keys and are selected only never; if fewer than k
+    candidates have positive probability, all of them are selected.
+    """
+    c_cap = prob.shape[0]
+    g = jax.random.gumbel(key, (c_cap,), dtype=jnp.float32)
+    logp = jnp.where(
+        cand_mask & (prob > 0), jnp.log(prob.astype(jnp.float32)), -jnp.inf
+    )
+    keys = jnp.where(jnp.isfinite(logp), logp + g, -jnp.inf)
+    k_eff = min(k, c_cap)
+    vals, idx = jax.lax.top_k(keys, k_eff)
+    sel = jnp.zeros(c_cap, dtype=bool).at[idx].max(jnp.isfinite(vals))
+    return sel
+
+
+def _bernoulli_select(
+    key: jax.Array, p: jax.Array, cand_mask: jax.Array
+) -> jax.Array:
+    """Independent per-candidate coin flips (Poisson sampling,
+    bandit_sampler.py:422-424)."""
+    u = jax.random.uniform(key, p.shape, dtype=jnp.float32)
+    return cand_mask & (u < p)
+
+
+# ---------------------------------------------------------------------------
+# block construction
+# ---------------------------------------------------------------------------
+
+
+def _build_block(
+    frontier: Frontier,
+    cand: Candidates,
+    sel: jax.Array,
+    node_prob: jax.Array,
+    edge_w: jax.Array,
+    seeds: jax.Array,
+    seeds_mask: jax.Array,
+    extra_cap: int,
+    e_blk_cap: int,
+    debias: str,  # 'ladies' | 'bandit' | 'none'
+) -> Tuple[Block, Dict[str, jax.Array]]:
+    """Assemble the padded MFG: src table (seeds first), kept edges, debiased
+    weights.
+
+    Parity: generate_block (bandit_sampler.py:269-339 / ladies_sampler.py:71-
+    107).  Kept edges are those whose src is a *selected* candidate (the
+    edge_subgraph mask at bandit_sampler.py:298); dst nodes are always the
+    seeds.  W-tilde = W / P[src], then scaled per dst by d (ladies,
+    ladies_sampler.py:97) or d / sum(W-tilde) (bandit, bandit_sampler.py:320),
+    with d the kept-edge in-degree.
+    """
+    n_seed_cap = seeds.shape[0]
+    c_cap = cand.gids.shape[0]
+
+    extra_mask = sel & jnp.logical_not(cand.is_seed) & cand.mask
+    extra_idx, extra_slot_mask, n_extra = compact_by_mask(extra_mask, extra_cap)
+
+    src_gids = jnp.concatenate(
+        [
+            jnp.where(seeds_mask, seeds, 0),
+            jnp.where(extra_slot_mask, jnp.take(cand.gids, extra_idx), 0),
+        ]
+    )
+    src_mask = jnp.concatenate([seeds_mask, extra_slot_mask])
+
+    # candidate position -> block src slot
+    pos_c = jnp.full(c_cap, -1, dtype=jnp.int32)
+    pos_c = pos_c.at[
+        jnp.where(seeds_mask, cand.seed_cpos, c_cap)
+    ].set(jnp.arange(n_seed_cap, dtype=jnp.int32), mode="drop")
+    pos_c = pos_c.at[
+        jnp.where(extra_slot_mask, extra_idx, c_cap)
+    ].set(
+        n_seed_cap + jnp.arange(extra_cap, dtype=jnp.int32), mode="drop"
+    )
+
+    keep = frontier.e_mask & jnp.take(sel, cand.src_cpos)
+    eidx, e_mask_b, n_kept = compact_by_mask(keep, e_blk_cap)
+
+    e_src_cpos = jnp.take(cand.src_cpos, eidx)
+    e_src = jnp.where(e_mask_b, jnp.take(pos_c, e_src_cpos), 0)
+    e_dst = jnp.where(e_mask_b, jnp.take(frontier.dst_spos, eidx), 0)
+    eid = jnp.where(e_mask_b, jnp.take(frontier.eid, eidx), 0)
+    w = jnp.where(e_mask_b, jnp.take(edge_w, eidx).astype(jnp.float32), 0.0)
+
+    p_src_edge = jnp.take(node_prob, e_src_cpos).astype(jnp.float32)
+    wt = jnp.where(p_src_edge > 0, w / jnp.where(p_src_edge > 0, p_src_edge, 1.0), 0.0)
+    d = segment_count(e_dst, n_seed_cap, e_mask_b).astype(jnp.float32)
+    if debias == "ladies":
+        wt = wt * jnp.take(d, e_dst)
+    elif debias == "bandit":
+        wt_sum = masked_segment_sum(wt, e_dst, n_seed_cap, e_mask_b)
+        scale = jnp.where(wt_sum > 0, d / jnp.where(wt_sum > 0, wt_sum, 1.0), 0.0)
+        wt = wt * jnp.take(scale, e_dst)
+    wt = jnp.where(e_mask_b, wt, 0.0)
+
+    # per-src-slot node prob (block.srcdata['node_prob'], bandit_sampler.py:328)
+    p_seed = jnp.take(node_prob, cand.seed_cpos).astype(jnp.float32)
+    p_extra = jnp.take(node_prob, extra_idx).astype(jnp.float32)
+    src_node_prob = jnp.concatenate(
+        [
+            jnp.where(seeds_mask, p_seed, 0.0),
+            jnp.where(extra_slot_mask, p_extra, 0.0),
+        ]
+    )
+
+    block = Block(
+        src_gids=src_gids.astype(jnp.int32),
+        src_mask=src_mask,
+        e_src=e_src.astype(jnp.int32),
+        e_dst=e_dst.astype(jnp.int32),
+        e_mask=e_mask_b,
+        eid=eid.astype(jnp.int32),
+        e_weight=wt,
+        e_q=jnp.where(e_mask_b, w, 0.0),
+        src_node_prob=src_node_prob,
+        n_dst_cap=n_seed_cap,
+    )
+    stats = {
+        "n_extra": n_extra,
+        "n_block_edges_true": jnp.sum(keep.astype(jnp.int32)),
+        "n_block_edges": n_kept,
+    }
+    return block, stats
+
+
+# ---------------------------------------------------------------------------
+# per-layer sampling
+# ---------------------------------------------------------------------------
+
+
+def _sample_layer_ladies(
+    graph: DeviceGraph,
+    cfg: SamplerConfig,
+    plan: CapacityPlan,
+    layer: int,
+    exp3_weights: Optional[jax.Array],
+    key: jax.Array,
+    seeds: jax.Array,
+    seeds_mask: jax.Array,
+) -> Tuple[Block, Dict[str, jax.Array]]:
+    num = cfg.fanouts[layer]
+    n_seed_cap = plan.dst_caps[layer]
+    frontier = gather_in_edges(
+        graph.csc_indptr, graph.csc_src, seeds, seeds_mask,
+        plan.frontier_caps[layer],
+    )
+    cand = compact_candidates(seeds, seeds_mask, frontier, plan.cand_caps[layer])
+
+    if cfg.is_bandit:
+        edge_w = _exp3_edge_prob(
+            graph, exp3_weights[layer], cfg.eta, frontier, seeds, n_seed_cap
+        )
+        normalize_per_dst = True
+    else:
+        edge_w = jnp.where(
+            frontier.e_mask,
+            jnp.take(graph.edata["w"], frontier.eid).astype(jnp.float32),
+            0.0,
+        )
+        normalize_per_dst = False
+
+    if cfg.importance_sampling:
+        prob = _importance_node_prob(
+            edge_w, frontier, cand, n_seed_cap, normalize_per_dst
+        )
+    else:
+        prob = _uniform_node_prob(frontier, cand)
+
+    if cfg.is_poisson:
+        p = _poisson_scale(prob, cand, num, cfg.poisson_eps, cfg.poisson_iters)
+        sel = _bernoulli_select(key, p, cand.mask)
+        node_prob = p
+    else:
+        sel = _gumbel_topk_select(key, prob, cand.mask, num)
+        node_prob = prob
+
+    block, bstats = _build_block(
+        frontier, cand, sel, node_prob, edge_w, seeds, seeds_mask,
+        extra_cap=plan.extra_caps[layer],
+        e_blk_cap=plan.block_e_caps[layer],
+        debias="bandit" if cfg.is_bandit else "ladies",
+    )
+    stats = {
+        "frontier_edges": frontier.total_edges,
+        "frontier_overflow": jnp.maximum(
+            frontier.total_edges - plan.frontier_caps[layer], 0
+        ),
+        "n_candidates": cand.n,
+        "n_selected": jnp.sum(sel.astype(jnp.int32)),
+        **bstats,
+    }
+    return block, stats
+
+
+def _segment_rank(dst_spos: jax.Array, key: jax.Array, e_mask: jax.Array):
+    """Random rank of each edge within its dst segment (for uniform k-subset
+    per dst).  Implemented as a two-pass stable sort (lexsort by (dst, u))."""
+    e_cap = dst_spos.shape[0]
+    u = jax.random.uniform(key, (e_cap,))
+    order1 = jnp.argsort(jnp.where(e_mask, u, 2.0), stable=True)
+    d1 = jnp.take(dst_spos, order1)
+    m1 = jnp.take(e_mask, order1)
+    order2 = jnp.argsort(jnp.where(m1, d1, jnp.iinfo(jnp.int32).max), stable=True)
+    order = jnp.take(order1, order2)  # sorted by (dst, random), masked last
+    sorted_dst = jnp.take(dst_spos, order)
+    sorted_mask = jnp.take(e_mask, order)
+    arange = jnp.arange(e_cap, dtype=jnp.int32)
+    # first position of each dst value in the sorted list
+    is_first = jnp.concatenate(
+        [jnp.ones(1, bool), sorted_dst[1:] != sorted_dst[:-1]]
+    ) & sorted_mask
+    # rank within segment = position - (cummax of segment-start positions)
+    start_cummax = jax.lax.cummax(jnp.where(is_first, arange, -1), axis=0)
+    rank_sorted = arange - jnp.maximum(start_cummax, 0)
+    rank = jnp.zeros(e_cap, dtype=jnp.int32).at[order].set(rank_sorted)
+    return jnp.where(e_mask, rank, jnp.iinfo(jnp.int32).max)
+
+
+def _sample_layer_neighbor(
+    graph: DeviceGraph,
+    cfg: SamplerConfig,
+    plan: CapacityPlan,
+    layer: int,
+    key: jax.Array,
+    seeds: jax.Array,
+    seeds_mask: jax.Array,
+    full: bool,
+) -> Tuple[Block, Dict[str, jax.Array]]:
+    """Uniform per-seed k-neighbor sampling (dgl.dataloading.NeighborSampler)
+    and the full-neighbor baseline (MultiLayerFullNeighborSampler)."""
+    n_seed_cap = plan.dst_caps[layer]
+    frontier = gather_in_edges(
+        graph.csc_indptr, graph.csc_src, seeds, seeds_mask,
+        plan.frontier_caps[layer],
+    )
+    if full:
+        keep = frontier.e_mask
+    else:
+        rank = _segment_rank(frontier.dst_spos, key, frontier.e_mask)
+        keep = frontier.e_mask & (rank < cfg.fanouts[layer])
+    kept_frontier = Frontier(
+        eid=frontier.eid,
+        src_gid=jnp.where(keep, frontier.src_gid, 0),
+        dst_spos=frontier.dst_spos,
+        e_mask=keep,
+        total_edges=frontier.total_edges,
+    )
+    cand = compact_candidates(
+        seeds, seeds_mask, kept_frontier, plan.cand_caps[layer]
+    )
+    sel = cand.mask  # every candidate is kept
+    ones = jnp.where(cand.mask, 1.0, 0.0)
+    edge_w = jnp.where(keep, 1.0, 0.0)
+    block, bstats = _build_block(
+        kept_frontier, cand, sel, ones, edge_w, seeds, seeds_mask,
+        extra_cap=plan.extra_caps[layer],
+        e_blk_cap=plan.block_e_caps[layer],
+        debias="none",
+    )
+    stats = {
+        "frontier_edges": frontier.total_edges,
+        "frontier_overflow": jnp.maximum(
+            frontier.total_edges - plan.frontier_caps[layer], 0
+        ),
+        "n_candidates": cand.n,
+        "n_selected": cand.n,
+        **bstats,
+    }
+    return block, stats
+
+
+# ---------------------------------------------------------------------------
+# multi-layer driver
+# ---------------------------------------------------------------------------
+
+
+def sample_blocks(
+    graph: DeviceGraph,
+    cfg: SamplerConfig,
+    plan: CapacityPlan,
+    key: jax.Array,
+    seeds: jax.Array,
+    seeds_mask: jax.Array,
+    exp3_weights: Optional[jax.Array] = None,
+) -> Tuple[List[Block], Dict[str, jax.Array]]:
+    """sample_blocks(g, seed_nodes) -> blocks, walking layers output-to-input
+    and growing the seed set with each block's src table
+    (bandit_sampler.py:341-367).
+
+    ``blocks[0]`` is the input-most layer (the reference's blocks.insert(0, ·)
+    ordering).  Pure function of (graph, exp3 state, PRNG key, seeds) — safe
+    to jit / fuse into the train step.
+    """
+    L = cfg.n_layers
+    assert seeds.shape[0] == plan.dst_caps[L - 1], (
+        f"seed capacity {seeds.shape[0]} != plan {plan.dst_caps[L - 1]}"
+    )
+    blocks: List[Optional[Block]] = [None] * L
+    stats: Dict[str, jax.Array] = {}
+    for block_id in reversed(range(L)):
+        key, sub = jax.random.split(key)
+        if cfg.kind in LADIES_FAMILY:
+            block, lstats = _sample_layer_ladies(
+                graph, cfg, plan, block_id, exp3_weights, sub, seeds, seeds_mask
+            )
+        else:
+            block, lstats = _sample_layer_neighbor(
+                graph, cfg, plan, block_id, sub, seeds, seeds_mask,
+                full=(cfg.kind == "full"),
+            )
+        seeds, seeds_mask = block.src_gids, block.src_mask
+        blocks[block_id] = block
+        for k, v in lstats.items():
+            stats[f"layer{block_id}/{k}"] = v
+    return blocks, stats
+
+
+# ---------------------------------------------------------------------------
+# EXP3 reward + arm-weight update
+# ---------------------------------------------------------------------------
+
+
+def _calculate_alpha(
+    graph: DeviceGraph, cfg: SamplerConfig, block: Block,
+    a_ij: Optional[jax.Array],
+) -> jax.Array:
+    """STEP_05 (bandit_sampler.py:140-158).
+
+    sage/gcn: alpha = the static normalized graph weight w_e (the block's
+    edata['w'], which DGL carries through every subgraph op — here gathered
+    fresh by global eid).
+    gat: alpha = (a_ij / sum_dst a_ij) * sum_dst q_ij with nan_to_num on the
+    attention ratio (reference divides by the *dst* sum, :152 — the '[!] _u?'
+    comment notwithstanding).
+    """
+    if cfg.model == "gat":
+        assert a_ij is not None, "GAT reward needs per-edge attention a_ij"
+        q = block.e_q
+        n = block.n_dst_cap
+        q_sum = masked_segment_sum(q, block.e_dst, n, block.e_mask)
+        a = a_ij.astype(jnp.float32)
+        a_sum = masked_segment_sum(a, block.e_dst, n, block.e_mask)
+        ratio = a / jnp.take(a_sum, block.e_dst)
+        ratio = jnp.nan_to_num(ratio)  # torch.nan_to_num defaults
+        alpha = ratio * jnp.take(q_sum, block.e_dst)
+    else:
+        alpha = jnp.take(graph.edata["w"], block.eid).astype(jnp.float32)
+    return jnp.where(block.e_mask, alpha, 0.0)
+
+
+def _calculate_rewards(
+    cfg: SamplerConfig, block: Block, alpha: jax.Array,
+    embed_norm: jax.Array,
+) -> jax.Array:
+    """STEP_06: r_ij = alpha^2 / k_i * ||h_j||^2 / q_ij^2
+    (bandit_sampler.py:160-193).  k_i = kept-edge in-degree of dst i;
+    embed_norm = ||h_src|| recorded by the model pre-aggregation."""
+    k_i = block.in_degrees().astype(jnp.float32)
+    a_div_k = (alpha * alpha) / jnp.take(k_i, block.e_dst)
+    a_div_k = jnp.nan_to_num(a_div_k, posinf=0.0)  # :187
+    h = jnp.take(embed_norm.astype(jnp.float32), block.e_src)
+    q = block.e_q
+    h_div_q = (h * h) / jnp.where(q > 0, q * q, 1.0)
+    r = a_div_k * h_div_q
+    return jnp.where(block.e_mask, r, 0.0)
+
+
+def _update_row(
+    graph: DeviceGraph, cfg: SamplerConfig, row: jax.Array, block: Block,
+    rewards: jax.Array,
+) -> jax.Array:
+    """STEP_07 (bandit_sampler.py:195-249): multiplicative EXP3 update with
+    constant delta, clipped exponent, then full-row L1 normalization.
+
+    w_e *= exp(min(delta * (r_e / P_src) / n_i, 1));  row /= ||row||_1.
+    The row sum runs in f32 even when the state is bf16 (the reference
+    normalizes in bf16 — a pure precision upgrade)."""
+    p_src = jnp.take(block.src_node_prob, block.e_src)
+    r_hat = rewards / jnp.where(p_src > 0, p_src, 1.0)
+    dst_gid = jnp.take(block.dst_gids, jnp.clip(block.e_dst, 0, block.n_dst_cap - 1))
+    n_i = (
+        jnp.take(graph.csc_indptr, dst_gid + 1)
+        - jnp.take(graph.csc_indptr, dst_gid)
+    ).astype(jnp.float32)
+    dr = r_hat * (cfg.exp3_delta / jnp.maximum(n_i, 1.0))
+    dr = jnp.minimum(dr, 1.0)  # delta_reward[delta_reward > 1] = 1
+    mult = jnp.where(block.e_mask, jnp.exp(dr), 1.0)
+    row_f = row.astype(jnp.float32)
+    row_f = row_f.at[block.eid].multiply(mult)
+    norm = jnp.sum(jnp.abs(row_f))
+    row_f = row_f / jnp.maximum(norm, 1e-12)
+    return row_f.astype(row.dtype)
+
+
+def exp3_update(
+    graph: DeviceGraph,
+    cfg: SamplerConfig,
+    exp3_weights: jax.Array,
+    blocks: Sequence[Block],
+    embed_norms: Sequence[jax.Array],
+    a_ijs: Optional[Sequence[Optional[jax.Array]]] = None,
+) -> jax.Array:
+    """The post-backward bandit loop (bandit_sampler.py:251-267, driven from
+    BatchSizeCallback.on_train_batch_end, train_lightning.py:463-471):
+    per block — alpha, rewards, arm-weight update.  Pure function of the
+    state; fuse into the train step."""
+    rows = []
+    for idx, block in enumerate(blocks):
+        a_ij = None if a_ijs is None else a_ijs[idx]
+        alpha = _calculate_alpha(graph, cfg, block, a_ij)
+        rewards = _calculate_rewards(cfg, block, alpha, embed_norms[idx])
+        rows.append(
+            _update_row(graph, cfg, exp3_weights[idx], block, rewards)
+        )
+    return jnp.stack(rows)
