@@ -1,0 +1,126 @@
+"""Full-graph layerwise inference — the final-eval path.
+
+Mirrors the reference's inference methods (SAGE model.py:335-383, GCN
+:441-488, GATv2 :236-289): layer-at-a-time over ALL nodes with full
+neighborhoods and no sampling weights, producing the [N, n_classes] logits
+used for the Final Accuracy/{Train,Validation,Test} micro-F1
+(train_lightning.py:686-705).
+
+Where the reference minibatches nodes through a DataLoader per layer, the
+TPU path simply runs each layer as one (chunked) full-graph aggregation —
+layer-major like the reference, but without the host loop.  The math
+mirrors models/layers.py exactly (verified by the sampled-full-block parity
+test); weights are consumed straight from the trained flax params pytree.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from bliss_gnn_tpu.graph.structure import DeviceGraph
+from bliss_gnn_tpu.ops.fullgraph import (
+    full_gat_attention,
+    full_spmm_mean,
+    full_spmm_sum,
+)
+
+
+def _sage_layer(p, graph: DeviceGraph, h: jax.Array, dtype) -> jax.Array:
+    Wn = p["fc_neigh"]["kernel"].astype(dtype)
+    Ws = p["fc_self"]["kernel"].astype(dtype)
+    b = p["bias"].astype(jnp.float32)
+    lin_before = h.shape[1] > Wn.shape[1]
+    src_val = (h.astype(dtype) @ Wn) if lin_before else h.astype(dtype)
+    agg = full_spmm_mean(
+        src_val, graph.csc_indptr, graph.csc_src, graph.n_nodes, graph.n_edges
+    )
+    h_neigh = agg if lin_before else agg.astype(dtype) @ Wn
+    return (h.astype(dtype) @ Ws).astype(jnp.float32) + h_neigh + b
+
+
+def _gcn_layer(p, graph: DeviceGraph, h: jax.Array, dtype) -> jax.Array:
+    W = p["weight"]["kernel"].astype(dtype)
+    b = p["weight"]["bias"].astype(jnp.float32)
+    out_deg = graph.out_degrees().astype(jnp.float32)
+    in_deg = graph.in_degrees().astype(jnp.float32)
+    feat = h.astype(dtype) * jax.lax.rsqrt(jnp.maximum(out_deg, 1.0))[
+        :, None
+    ].astype(dtype)
+    if h.shape[1] > W.shape[1]:
+        feat = feat @ W
+        agg = full_spmm_sum(
+            feat, graph.csc_indptr, graph.csc_src, graph.n_nodes, graph.n_edges
+        )
+    else:
+        agg = full_spmm_sum(
+            feat, graph.csc_indptr, graph.csc_src, graph.n_nodes, graph.n_edges
+        ).astype(dtype) @ W
+        agg = agg.astype(jnp.float32)
+    return agg * jax.lax.rsqrt(jnp.maximum(in_deg, 1.0))[:, None] + b
+
+
+def _gat_layer(
+    p, graph: DeviceGraph, h: jax.Array, num_heads: int, negative_slope: float,
+    residual: bool, dtype,
+) -> jax.Array:
+    W = p["fc_src"]["kernel"].astype(dtype)
+    attn = p["attn"]
+    HO = W.shape[1]
+    O = HO // num_heads
+    feat = (h.astype(dtype) @ W).reshape(-1, num_heads, O)
+    rst = full_gat_attention(
+        feat, attn, negative_slope, graph.csc_indptr, graph.csc_src,
+        graph.n_nodes, graph.n_edges,
+    )
+    if residual:
+        if "res_fc" in p:
+            res = (h.astype(dtype) @ p["res_fc"]["kernel"].astype(dtype))
+            res = res.reshape(-1, num_heads, O).astype(jnp.float32)
+        else:
+            res = h.reshape(-1, num_heads, O).astype(jnp.float32)
+        rst = rst + res
+    return rst
+
+
+def layerwise_inference(
+    model_name: str,
+    params,
+    graph: DeviceGraph,
+    n_layers: int,
+    heads: Optional[tuple] = None,
+    negative_slope: float = 0.2,
+    residual: bool = False,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Run every layer over the full graph; returns [N, n_classes] logits
+    (f32).  Dropout off (eval), activations between layers per model
+    (ReLU for SAGE, ReLU-in-conv for GCN, ELU + head flatten for GATv2)."""
+    p = params["params"]
+    h = graph.ndata["features"].astype(jnp.float32)
+    name = model_name.lower()
+    for l in range(n_layers):
+        last = l == n_layers - 1
+        if name == "sage":
+            h = _sage_layer(p[f"layers_{l}"], graph, h, dtype)
+            if not last:
+                h = jax.nn.relu(h)
+        elif name == "gcn":
+            h = _gcn_layer(p[f"layers_{l}"], graph, h, dtype)
+            if not last:
+                h = jax.nn.relu(h)
+        elif name == "gat":
+            first = l == 0
+            rst = _gat_layer(
+                p[f"gatv2_layers_{l}"], graph, h, heads[l], negative_slope,
+                residual and not first, dtype,
+            )
+            if not last:
+                rst = jax.nn.elu(rst)
+                h = rst.reshape(rst.shape[0], -1)
+            else:
+                h = jnp.mean(rst, axis=1)
+        else:
+            raise ValueError(name)
+    return h

@@ -603,11 +603,14 @@ def _update_row(
     dr = r_hat * (cfg.exp3_delta / jnp.maximum(n_i, 1.0))
     dr = jnp.minimum(dr, 1.0)  # delta_reward[delta_reward > 1] = 1
     mult = jnp.where(block.e_mask, jnp.exp(dr), 1.0)
-    row_f = row.astype(jnp.float32)
-    row_f = row_f.at[block.eid].multiply(mult)
-    norm = jnp.sum(jnp.abs(row_f))
-    row_f = row_f / jnp.maximum(norm, 1e-12)
-    return row_f.astype(row.dtype)
+    # scatter-multiply touched edges in the state dtype (no full-row f32
+    # materialization: only the touched gather, one full-row f32-accumulated
+    # sum, and one scaled write — the minimum the per-step L1 normalization
+    # admits)
+    row = row.at[block.eid].multiply(mult.astype(row.dtype))
+    norm = jnp.sum(row, dtype=jnp.float32)  # weights are positive
+    inv = (1.0 / jnp.maximum(norm, 1e-12)).astype(row.dtype)
+    return row * inv
 
 
 def exp3_update(

@@ -1,0 +1,193 @@
+"""Experiment CLI — flag surface mirroring train_lightning.py:489-552.
+
+Usage:
+    python -m bliss_gnn_tpu.train.cli --dataset pubmed --model sage \
+        --sampler poisson-bandit --num-layers 3 --fan-out 512,256,128 \
+        --batch-size 32 --lr 0.002 --num-steps 1000 --k-runs 5
+
+Differences from the reference CLI (documented, deliberate):
+- ``--gpu`` is replaced by JAX device selection (TPU by default);
+- ``--model gcn`` trains a real GCN (the reference trains a SAGE module
+  under that flag, train_lightning.py:597-607);
+- buried constants are exposed: --ema-w, --exp3-delta, --poisson-eps,
+  --lr-gamma, --lr-step-size (SURVEY.md §5.6);
+- capacity knobs for the static-shape sampler: --frontier-slack,
+  --max-frontier-edges;
+- ``--num-workers``/``--use-uva``/``--cache-size``/``--data-cpu`` are
+  accepted and ignored: sampling is a jitted on-device function and the
+  graph is HBM-resident, so the host dataloader machinery has no analog
+  (SURVEY.md §2b DataLoader row).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import os
+from collections import defaultdict
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", type=str, default="sage",
+                   choices=["sage", "gcn", "gat"])
+    p.add_argument("--dataset", type=str, default="cora")
+    p.add_argument("--num-epochs", type=int, default=-1)
+    p.add_argument("--num-steps", type=int, default=-1)
+    p.add_argument("--min-steps", type=int, default=0)
+    p.add_argument("--num-hidden", type=int, default=256)
+    p.add_argument("--num-layers", type=int, default=3)
+    p.add_argument("--num-in-heads", type=int, default=4)
+    p.add_argument("--num-out-heads", type=int, default=1)
+    p.add_argument("--attn-dropout", type=float, default=0.1)
+    p.add_argument("--negative-slope", type=float, default=0.2)
+    p.add_argument("--residual", action="store_true", default=False)
+    p.add_argument("--allow-zero-in-degree", action="store_true", default=False)
+    p.add_argument("--fan-out", type=str, default="16384,8192,4096")
+    p.add_argument("--eta", type=float, default=0.1)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--lr", type=float, default=0.002)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--sampler", type=str, default="poisson-bandit",
+                   choices=["full", "neighbor", "bandit", "poisson-bandit",
+                            "ladies", "poisson-ladies"])
+    p.add_argument("--importance-sampling", type=int, default=1)
+    p.add_argument("--logdir", type=str, default="tb_logs")
+    p.add_argument("--vertex-limit", type=int, default=-1)
+    p.add_argument("--undirected", action="store_true")
+    p.add_argument("--val-acc-target", type=float, default=1.0)
+    p.add_argument("--early-stopping-patience", type=int, default=1000)
+    p.add_argument("--disable-checkpoint", action="store_true")
+    p.add_argument("--precision", type=str, default="medium",
+                   help="medium = bf16 compute (TPU native); highest = f32")
+    p.add_argument("--k-runs", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    # accepted-and-ignored host-dataloader flags (no TPU analog)
+    p.add_argument("--gpu", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=0)
+    p.add_argument("--data-cpu", action="store_true")
+    p.add_argument("--use-uva", action="store_true")
+    p.add_argument("--cache-size", type=int, default=0)
+    # surfaced constants
+    p.add_argument("--ema-w", type=float, default=0.99)
+    p.add_argument("--exp3-delta", type=float, default=0.01)
+    p.add_argument("--poisson-eps", type=float, default=0.9999)
+    p.add_argument("--lr-gamma", type=float, default=0.01)
+    p.add_argument("--lr-step-size", type=int, default=5)
+    # capacity knobs
+    p.add_argument("--frontier-slack", type=float, default=8.0)
+    p.add_argument("--block-edge-slack", type=float, default=4.0)
+    p.add_argument("--max-frontier-edges", type=int, default=-1)
+    return p
+
+
+def config_from_args(args) -> "TrainConfig":
+    from bliss_gnn_tpu.train.trainer import TrainConfig
+
+    return TrainConfig(
+        dataset=args.dataset,
+        model=args.model,
+        sampler=args.sampler,
+        fan_out=tuple(int(x) for x in args.fan_out.split(",")),
+        batch_size=args.batch_size,
+        num_hidden=args.num_hidden,
+        num_layers=args.num_layers,
+        lr=args.lr,
+        dropout=args.dropout,
+        eta=args.eta,
+        importance_sampling=bool(args.importance_sampling),
+        num_epochs=args.num_epochs,
+        num_steps=args.num_steps,
+        min_steps=args.min_steps,
+        num_in_heads=args.num_in_heads,
+        num_out_heads=args.num_out_heads,
+        attn_dropout=args.attn_dropout,
+        negative_slope=args.negative_slope,
+        residual=args.residual,
+        undirected=args.undirected,
+        val_acc_target=args.val_acc_target,
+        early_stopping_patience=args.early_stopping_patience,
+        disable_checkpoint=args.disable_checkpoint,
+        logdir=args.logdir,
+        vertex_limit=args.vertex_limit,
+        seed=args.seed,
+        ema_w=args.ema_w,
+        exp3_delta=args.exp3_delta,
+        poisson_eps=args.poisson_eps,
+        lr_gamma=args.lr_gamma,
+        lr_step_size=args.lr_step_size,
+        frontier_slack=args.frontier_slack,
+        block_edge_slack=args.block_edge_slack,
+        max_frontier_edges=(
+            None if args.max_frontier_edges <= 0 else args.max_frontier_edges
+        ),
+        compute_dtype="float32" if args.precision == "highest" else "bfloat16",
+    )
+
+
+def reduce_runs(logdir: str, run_name: str, k: int):
+    """k-runs mean/std reduction to CSV (the tensorboard_reducer step,
+    train_lightning.py:711-733)."""
+    base = os.path.join(logdir, run_name)
+    version_dirs = sorted(
+        glob.glob(os.path.join(base, "version_*")),
+        key=lambda x: int(x.split("_")[-1]),
+    )[-k:]
+    print(f"Found {len(version_dirs)} run dirs for reduction")
+    series = defaultdict(lambda: defaultdict(list))  # name -> step -> [values]
+    for vd in version_dirs:
+        path = os.path.join(vd, "metrics.csv")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            for row in csv.DictReader(f):
+                series[row["name"]][int(row["step"])].append(float(row["value"]))
+    out_dir = f"{logdir}_reduced"
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, f"{run_name}_{len(version_dirs)}.csv")
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "step", "mean", "std", "n"])
+        for name, steps in sorted(series.items()):
+            for step, vals in sorted(steps.items()):
+                w.writerow([
+                    name, step, float(np.mean(vals)),
+                    float(np.std(vals)), len(vals),
+                ])
+    print(f"Wrote reduction to {out_path}")
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    from bliss_gnn_tpu.train.trainer import Trainer
+
+    cfg = config_from_args(args)
+    results = []
+    for run in range(args.k_runs):
+        print("=" * 20 + f"run_{run + 1} for eta_{args.eta}" + "=" * 20)
+        run_cfg = dataclasses_replace_seed(cfg, cfg.seed + run)
+        trainer = Trainer(run_cfg)
+        trainer.fit()
+        trainer.restore_best()
+        results.append(trainer.final_eval())
+    if args.k_runs > 1:
+        reduce_runs(args.logdir, cfg.run_name, args.k_runs)
+        for split in ["Train", "Validation", "Test"]:
+            vals = [r[split] for r in results]
+            print(
+                f"{split}: mean {np.mean(vals):.4f} std {np.std(vals):.4f} "
+                f"over {len(vals)} runs"
+            )
+    return results
+
+
+def dataclasses_replace_seed(cfg, seed):
+    import dataclasses
+
+    return dataclasses.replace(cfg, seed=seed)
+
+
+if __name__ == "__main__":
+    main()

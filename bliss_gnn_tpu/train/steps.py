@@ -1,0 +1,185 @@
+"""Fused training / evaluation steps.
+
+The reference's per-step critical path spans three host-coordinated phases
+(SURVEY.md §3.2-3.3): DGL dataloader sampling (possibly in worker
+processes), the Lightning forward/backward, and the bandit update in a
+callback — with up to 50 host syncs per layer inside Poisson scaling.  Here
+the entire step is ONE jitted device program:
+
+    (state, seed_batch) -> (state', metrics)
+      = sample_blocks  ->  gather features  ->  forward  ->  loss/grad
+        ->  adam update  ->  EXP3 reward + arm-weight update
+
+State is a donated pytree, so the EXP3 buffers (L x E) update in place in
+HBM.  No host round-trips; the sampler consumes the *current* arm weights
+and the update runs post-backward, exactly like the reference's
+on_train_batch_end ordering (train_lightning.py:463-471).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bliss_gnn_tpu.graph.structure import DeviceGraph
+from bliss_gnn_tpu.sampling.block import CapacityPlan
+from bliss_gnn_tpu.sampling.samplers import (
+    SamplerConfig,
+    exp3_update,
+    sample_blocks,
+)
+from bliss_gnn_tpu.train.metrics import F1State, f1_update
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """The full per-run device state — checkpointable as one pytree.
+
+    Unlike the reference (which never checkpoints the EXP3 state, SURVEY.md
+    §5.4), this carries {params, opt_state, exp3_weights, prng_key, step}.
+    """
+
+    params: Any
+    opt_state: Any
+    exp3_weights: Optional[jax.Array]
+    key: jax.Array
+    step: jax.Array
+
+
+def cross_entropy_loss(
+    logits: jax.Array, labels: jax.Array, mask: jax.Array, multilabel: bool
+) -> jax.Array:
+    """CE for multiclass, mean-reduced BCE-with-logits for multilabel
+    (train_lightning.py:77-79), masked over padded dst slots."""
+    logits = logits.astype(jnp.float32)
+    if multilabel:
+        per = optax.sigmoid_binary_cross_entropy(logits, labels).mean(axis=-1)
+    else:
+        per = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        )
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, per, 0.0)) / denom
+
+
+def _block_count_metrics(blocks) -> Dict[str, jax.Array]:
+    """Per-layer sampled node/edge counts (the num_nodes/{i}, num_edges/{i}
+    series, train_lightning.py:104-136)."""
+    out = {}
+    for i, b in enumerate(blocks):
+        out[f"num_nodes/{i}"] = b.num_src()
+        out[f"num_edges/{i}"] = b.num_edges()
+    out[f"num_nodes/{len(blocks)}"] = blocks[-1].num_dst()
+    return out
+
+
+def make_train_step(
+    graph: DeviceGraph,
+    model,
+    tx: optax.GradientTransformation,
+    sampler_cfg: SamplerConfig,
+    plan: CapacityPlan,
+    multilabel: bool,
+    donate: bool = True,
+) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict]]:
+    """Build the fused jitted train step closed over static config + graph."""
+    features = graph.ndata["features"]
+    labels_all = graph.ndata["labels"]
+
+    def step(state: TrainState, seeds: jax.Array, seeds_mask: jax.Array):
+        key, k_sample, k_drop = jax.random.split(state.key, 3)
+        blocks, samp_stats = sample_blocks(
+            graph, sampler_cfg, plan, k_sample, seeds, seeds_mask,
+            state.exp3_weights,
+        )
+        x = jnp.take(features, blocks[0].src_gids, axis=0)
+        labels = jnp.take(labels_all, blocks[-1].dst_gids, axis=0)
+        dst_mask = blocks[-1].dst_mask
+
+        def loss_fn(params):
+            logits, aux = model.apply(
+                params, blocks, x, deterministic=False,
+                rngs={"dropout": k_drop},
+            )
+            loss = cross_entropy_loss(logits, labels, dst_mask, multilabel)
+            return loss, (logits, aux)
+
+        (loss, (logits, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        if sampler_cfg.is_bandit:
+            exp3 = exp3_update(
+                graph, sampler_cfg, state.exp3_weights, blocks,
+                aux["embed_norms"], aux["a_ijs"],
+            )
+        else:
+            exp3 = state.exp3_weights
+
+        f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)
+        metrics = {
+            "train_loss": loss,
+            "f1": f1,
+            **_block_count_metrics(blocks),
+            **{k: v for k, v in samp_stats.items() if "overflow" in k},
+        }
+        new_state = TrainState(
+            params=params, opt_state=opt_state, exp3_weights=exp3,
+            key=key, step=state.step + 1,
+        )
+        return new_state, metrics
+
+    if donate:
+        return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step)
+
+
+def make_eval_step(
+    graph: DeviceGraph,
+    model,
+    sampler_cfg: SamplerConfig,
+    plan: CapacityPlan,
+    multilabel: bool,
+) -> Callable:
+    """Sampled validation step: same sampler consuming the current arm
+    weights, NO exp3 update (SURVEY.md §3.5).  Returns (f1_delta, loss,
+    n_valid) so the caller can accumulate epoch metrics."""
+    features = graph.ndata["features"]
+    labels_all = graph.ndata["labels"]
+
+    def step(state: TrainState, key: jax.Array, seeds, seeds_mask):
+        blocks, _ = sample_blocks(
+            graph, sampler_cfg, plan, key, seeds, seeds_mask,
+            state.exp3_weights,
+        )
+        x = jnp.take(features, blocks[0].src_gids, axis=0)
+        labels = jnp.take(labels_all, blocks[-1].dst_gids, axis=0)
+        dst_mask = blocks[-1].dst_mask
+        logits, _ = model.apply(state.params, blocks, x, deterministic=True)
+        loss = cross_entropy_loss(logits, labels, dst_mask, multilabel)
+        f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)
+        n = jnp.sum(dst_mask)
+        return f1, loss * n, n
+
+    return jax.jit(step)
+
+
+def make_optimizer(
+    lr: float, steps_per_epoch: int, gamma: float = 0.01, step_size: int = 5
+) -> optax.GradientTransformation:
+    """Adam + StepLR(gamma=0.01, step_size=5 epochs)
+    (train_lightning.py:205-216), as a staircase exponential decay."""
+    schedule = optax.exponential_decay(
+        init_value=lr,
+        transition_steps=max(1, step_size * steps_per_epoch),
+        decay_rate=gamma,
+        staircase=True,
+    )
+    return optax.adam(schedule)

@@ -1,0 +1,415 @@
+"""Trainer: the Lightning-harness equivalent, single-controller JAX.
+
+Covers the reference's L5/L6 behavior (SURVEY.md §2a rows 14-18):
+- DataModule graph prep (canonicalize, normalized_edata, splits, sampler
+  factory — train_lightning.py:307-394)
+- per-step training with EMA'd sampled node/edge counters, iter/fwd-bwd
+  timers, train micro-F1 (train_lightning.py:100-177)
+- sampled validation each epoch (val_acc/val_loss, :179-203)
+- Adam + StepLR(0.01, 5 epochs) (:205-216)
+- ModelCheckpoint(best val_acc) + EarlyStopping(stopping_threshold=
+  --val-acc-target, patience) (:620-657) — checkpoint includes the EXP3
+  state and PRNG key (unlike the reference, SURVEY.md §5.4)
+- vertex-limit adaptive batch-size controller (BatchSizeCallback :425-486)
+- post-fit full-graph layerwise inference + Final Accuracy (:686-705)
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bliss_gnn_tpu.graph.datasets import load_dataset
+from bliss_gnn_tpu.graph.structure import DeviceGraph, Graph, normalized_edata
+from bliss_gnn_tpu.models.gnn import build_model
+from bliss_gnn_tpu.models.inference import layerwise_inference
+from bliss_gnn_tpu.sampling.block import CapacityPlan
+from bliss_gnn_tpu.sampling.samplers import (
+    SamplerConfig,
+    init_exp3_weights,
+    sample_blocks,
+)
+from bliss_gnn_tpu.train.metrics import (
+    EmaCounter,
+    F1State,
+    Welford,
+    f1_compute,
+    f1_update,
+)
+from bliss_gnn_tpu.train.steps import (
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from bliss_gnn_tpu.utils.logging import MetricLogger, next_version_dir
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """The CLI flag surface (train_lightning.py:489-552) plus the constants
+    the reference buries in code (SURVEY.md §5.6), surfaced as knobs."""
+
+    dataset: str = "cora"
+    model: str = "sage"
+    sampler: str = "poisson-bandit"
+    fan_out: Tuple[int, ...] = (16384, 8192, 4096)
+    batch_size: int = 1024
+    num_hidden: int = 256
+    num_layers: int = 3
+    lr: float = 0.002
+    dropout: float = 0.1
+    eta: float = 0.1
+    importance_sampling: bool = True
+    num_epochs: int = -1
+    num_steps: int = -1
+    min_steps: int = 0
+    num_in_heads: int = 4
+    num_out_heads: int = 1
+    attn_dropout: float = 0.1
+    negative_slope: float = 0.2
+    residual: bool = False
+    undirected: bool = False
+    val_acc_target: float = 1.0
+    early_stopping_patience: int = 1000
+    disable_checkpoint: bool = False
+    logdir: str = "tb_logs"
+    vertex_limit: int = -1
+    seed: int = 0
+    # surfaced constants
+    ema_w: float = 0.99
+    exp3_delta: float = 0.01
+    poisson_eps: float = 0.9999
+    lr_gamma: float = 0.01
+    lr_step_size: int = 5
+    # capacity knobs (TPU-specific, no reference counterpart)
+    frontier_slack: float = 8.0
+    block_edge_slack: float = 4.0
+    max_frontier_edges: Optional[int] = None
+    # numerics
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    exp3_dtype: str = "bfloat16"
+
+    @property
+    def run_name(self) -> str:
+        """Structured run name (train_lightning.py:636-646)."""
+        return (
+            f"paper_{self.model}_{self.dataset}_{self.sampler}_"
+            f"{int(self.importance_sampling)}_steps_{self.num_steps}_bs_"
+            f"{self.batch_size}_layers_{self.num_layers}_lr_{self.lr}_"
+            f"eta_{self.eta}"
+        )
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, graph: Optional[Graph] = None,
+                 n_classes: Optional[int] = None,
+                 multilabel: Optional[bool] = None):
+        self.cfg = cfg
+        if graph is None:
+            graph, n_classes, multilabel = load_dataset(cfg.dataset)
+            graph = Graph.canonicalize(graph, undirected=cfg.undirected)
+            graph.edata["w"] = normalized_edata(graph)
+        self.host_graph = graph
+        self.n_classes = n_classes
+        self.multilabel = multilabel
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        pdtype = jnp.float32 if cfg.param_dtype == "float32" else jnp.bfloat16
+        self.dtype, self.pdtype = dtype, pdtype
+
+        self.graph: DeviceGraph = graph.to_device(feature_dtype=dtype)
+        self.train_nid = np.where(graph.ndata["train_mask"])[0].astype(np.int32)
+        self.val_nid = np.where(graph.ndata["val_mask"])[0].astype(np.int32)
+        self.test_nid = np.where(graph.ndata["test_mask"])[0].astype(np.int32)
+
+        fanouts = tuple(cfg.fan_out[: cfg.num_layers])
+        assert len(fanouts) == cfg.num_layers, (
+            f"need {cfg.num_layers} fan-outs, got {fanouts}"
+        )
+        self.sampler_cfg = SamplerConfig(
+            kind=cfg.sampler,
+            fanouts=fanouts,
+            importance_sampling=cfg.importance_sampling,
+            eta=cfg.eta,
+            poisson_eps=cfg.poisson_eps,
+            exp3_delta=cfg.exp3_delta,
+            model=cfg.model,
+        )
+        self.model = build_model(
+            cfg.model, cfg.num_hidden, n_classes, cfg.num_layers,
+            dropout=cfg.dropout, num_in_heads=cfg.num_in_heads,
+            num_out_heads=cfg.num_out_heads, attn_drop=cfg.attn_dropout,
+            negative_slope=cfg.negative_slope, residual=cfg.residual,
+            dtype=dtype, param_dtype=pdtype,
+        )
+        self.batch_size = min(cfg.batch_size, max(1, len(self.train_nid)))
+        self.steps_per_epoch = max(1, len(self.train_nid) // self.batch_size)
+        self._build_for_batch_size(self.batch_size, init_state=True)
+
+        # logging / callbacks state
+        base = os.path.join(cfg.logdir, cfg.run_name)
+        self.run_dir = next_version_dir(base)
+        self.logger = MetricLogger(self.run_dir)
+        self.ema_nodes = [EmaCounter(cfg.ema_w) for _ in range(cfg.num_layers + 1)]
+        self.ema_edges = [EmaCounter(cfg.ema_w) for _ in range(cfg.num_layers)]
+        self.welford = Welford()
+        self.best_val_acc = -1.0
+        self.best_state = None
+        self.global_step = 0
+        self._stop = False
+        self._epochs_since_improve = 0
+
+    # -- static-shape (re)build -----------------------------------------
+    def _build_for_batch_size(self, batch_size: int, init_state: bool):
+        cfg = self.cfg
+        g = self.host_graph
+        self.batch_size = batch_size
+        self.plan = CapacityPlan.build(
+            batch_size, self.sampler_cfg.fanouts, g.n_nodes, g.n_edges,
+            kind=cfg.sampler, frontier_slack=cfg.frontier_slack,
+            block_edge_slack=cfg.block_edge_slack,
+            max_frontier_edges=cfg.max_frontier_edges,
+        )
+        self.tx = make_optimizer(
+            cfg.lr, self.steps_per_epoch, cfg.lr_gamma, cfg.lr_step_size
+        )
+        if init_state:
+            key = jax.random.PRNGKey(cfg.seed)
+            key, init_key = jax.random.split(key)
+            params = self._init_params(init_key)
+            exp3 = (
+                init_exp3_weights(
+                    cfg.num_layers, g.n_edges,
+                    dtype=jnp.bfloat16 if cfg.exp3_dtype == "bfloat16"
+                    else jnp.float32,
+                )
+                if self.sampler_cfg.is_bandit
+                else None
+            )
+            self.state = TrainState(
+                params=params,
+                opt_state=self.tx.init(params),
+                exp3_weights=exp3,
+                key=key,
+                step=jnp.zeros((), jnp.int32),
+            )
+        self.train_step = make_train_step(
+            self.graph, self.model, self.tx, self.sampler_cfg, self.plan,
+            self.multilabel,
+        )
+        self.eval_step = make_eval_step(
+            self.graph, self.model, self.sampler_cfg, self.plan,
+            self.multilabel,
+        )
+
+    def _init_params(self, key):
+        # init by tracing one sampled batch shape
+        seeds = jnp.zeros(self.plan.dst_caps[-1], jnp.int32)
+        smask = jnp.zeros(self.plan.dst_caps[-1], bool).at[0].set(True)
+        exp3 = (
+            init_exp3_weights(self.cfg.num_layers, self.host_graph.n_edges)
+            if self.sampler_cfg.is_bandit else None
+        )
+        blocks, _ = jax.eval_shape(
+            lambda k: sample_blocks(
+                self.graph, self.sampler_cfg, self.plan, k, seeds, smask, exp3
+            ),
+            jax.random.PRNGKey(0),
+        )
+        blocks_z = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), blocks,
+        )
+        x = jnp.zeros(
+            (blocks_z[0].src_gids.shape[0],
+             self.graph.ndata["features"].shape[1]),
+            self.dtype,
+        )
+        return self.model.init(key, blocks_z, x)
+
+    # -- epoch loops -----------------------------------------------------
+    def _epoch_batches(self, rng: np.random.Generator) -> np.ndarray:
+        ids = rng.permutation(self.train_nid)
+        n_full = len(ids) // self.batch_size  # drop_last=True (train)
+        return ids[: n_full * self.batch_size].reshape(n_full, self.batch_size)
+
+    def fit(self):
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed + 1)
+        max_steps = cfg.num_steps if cfg.num_steps > 0 else math.inf
+        max_epochs = cfg.num_epochs if cfg.num_epochs > 0 else math.inf
+        if max_steps is math.inf and max_epochs is math.inf:
+            max_epochs = 1000  # Lightning default
+        epoch = 0
+        prev_t = time.time()
+        while epoch < max_epochs and self.global_step < max_steps and not self._stop:
+            batches = self._epoch_batches(rng)
+            smask = jnp.ones(self.batch_size, bool)
+            for b in range(batches.shape[0]):
+                seeds = jnp.asarray(batches[b])
+                st = time.time()
+                self.state, metrics = self.train_step(self.state, seeds, smask)
+                metrics = jax.device_get(metrics)
+                fb_time = time.time() - st
+                self.global_step += 1
+                self._log_train_step(metrics, prev_t, fb_time)
+                prev_t = time.time()
+                self.welford.push(float(metrics["num_nodes/0"]))
+                if self.global_step >= max_steps:
+                    break
+            epoch += 1
+            val_acc = self._validate(epoch)
+            self._maybe_checkpoint(val_acc)
+            self._early_stopping(val_acc)
+            self._vertex_limit_controller()
+        self.logger.flush()
+        return self
+
+    def _log_train_step(self, metrics, prev_t, fb_time):
+        cfg = self.cfg
+        scalars = {}
+        for i in range(cfg.num_layers):
+            scalars[f"num_nodes/{i}"] = self.ema_nodes[i].push(
+                float(metrics[f"num_nodes/{i}"])
+            )
+            scalars[f"num_edges/{i}"] = self.ema_edges[i].push(
+                float(metrics[f"num_edges/{i}"])
+            )
+        scalars[f"num_nodes/{cfg.num_layers}"] = self.ema_nodes[
+            cfg.num_layers
+        ].push(float(metrics[f"num_nodes/{cfg.num_layers}"]))
+        f1 = metrics["f1"]
+        scalars["train_acc"] = float(
+            f1_compute(f1, self.multilabel)
+        )
+        scalars["train_loss"] = float(metrics["train_loss"])
+        scalars["iter_time"] = time.time() - prev_t
+        scalars["forward_backward_time"] = fb_time
+        for k, v in metrics.items():
+            if "overflow" in k and float(v) > 0:
+                scalars[k] = float(v)
+        self.logger.log(self.global_step, scalars)
+
+    def _validate(self, epoch: int) -> float:
+        if len(self.val_nid) == 0:
+            return float("nan")
+        f1 = F1State.zero()
+        loss_sum, n_sum = 0.0, 0.0
+        key = jax.random.PRNGKey(self.cfg.seed + 1000 + epoch)
+        n_batches = -(-len(self.val_nid) // self.batch_size)
+        for b in range(n_batches):
+            chunk = self.val_nid[b * self.batch_size : (b + 1) * self.batch_size]
+            pad = self.batch_size - len(chunk)
+            seeds = jnp.asarray(
+                np.pad(chunk, (0, pad)), dtype=jnp.int32
+            )
+            smask = jnp.asarray(np.arange(self.batch_size) < len(chunk))
+            key, sub = jax.random.split(key)
+            df1, dloss, dn = self.eval_step(self.state, sub, seeds, smask)
+            f1 = jax.tree.map(lambda a, b: a + b, f1, df1)
+            loss_sum += float(dloss)
+            n_sum += float(dn)
+        val_acc = float(f1_compute(f1, self.multilabel))
+        val_loss = loss_sum / max(n_sum, 1)
+        self.logger.log(self.global_step, {"val_acc": val_acc, "val_loss": val_loss})
+        return val_acc
+
+    def _maybe_checkpoint(self, val_acc: float):
+        if math.isnan(val_acc):
+            self.best_state = jax.device_get(self.state)
+            return
+        if val_acc > self.best_val_acc:
+            self.best_val_acc = val_acc
+            self._epochs_since_improve = 0
+            self.best_state = jax.device_get(self.state)
+            if not self.cfg.disable_checkpoint:
+                self._save_checkpoint()
+        else:
+            self._epochs_since_improve += 1
+
+    def _save_checkpoint(self):
+        try:
+            import orbax.checkpoint as ocp
+
+            path = os.path.join(os.path.abspath(self.run_dir), "checkpoints", "best")
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, self.best_state, force=True)
+            ckptr.wait_until_finished()
+        except Exception as e:  # pragma: no cover
+            print(f"[checkpoint] save failed: {e}")
+
+    def restore_best(self):
+        """Reload the best-val_acc state for final eval
+        (train_lightning.py:662-685)."""
+        if self.best_state is not None:
+            self.state = jax.device_put(self.best_state)
+
+    def _early_stopping(self, val_acc: float):
+        if math.isnan(val_acc):
+            return
+        if val_acc >= self.cfg.val_acc_target:
+            self._stop = True
+        if self._epochs_since_improve >= self.cfg.early_stopping_patience:
+            self._stop = True
+
+    def _vertex_limit_controller(self):
+        """BatchSizeCallback.on_train_epoch_end (train_lightning.py:473-486).
+        NOTE: resizing the batch rebuilds static shapes -> recompile."""
+        w, limit = self.welford, self.cfg.vertex_limit
+        if (
+            limit > 0 and w.n >= 2
+            and abs(limit - w.m) * w.n >= w.std * 3
+        ):
+            new_bs = max(1, int(self.batch_size * limit / max(w.m, 1)))
+            if new_bs != self.batch_size:
+                self.batch_size = new_bs
+                self.steps_per_epoch = max(
+                    1, len(self.train_nid) // self.batch_size
+                )
+                self._build_for_batch_size(new_bs, init_state=False)
+            self.welford.clear()
+
+    # -- final eval ------------------------------------------------------
+    def final_eval(self) -> Dict[str, float]:
+        """Full-graph layerwise inference + micro-F1 per split
+        (train_lightning.py:686-705)."""
+        cfg = self.cfg
+        heads = tuple(
+            [cfg.num_in_heads] * (cfg.num_layers - 1) + [cfg.num_out_heads]
+        )
+        logits = layerwise_inference(
+            cfg.model, self.state.params, self.graph, cfg.num_layers,
+            heads=heads, negative_slope=cfg.negative_slope,
+            residual=cfg.residual, dtype=self.dtype,
+        )
+        labels = self.graph.ndata["labels"]
+        out = {}
+        for nid, split in [
+            (self.train_nid, "Train"),
+            (self.val_nid, "Validation"),
+            (self.test_nid, "Test"),
+        ]:
+            if len(nid) == 0:
+                out[split] = float("nan")
+                continue
+            nid_j = jnp.asarray(nid)
+            f1 = f1_update(
+                F1State.zero(),
+                jnp.take(logits, nid_j, axis=0),
+                jnp.take(labels, nid_j, axis=0),
+                jnp.ones(len(nid), bool),
+                self.multilabel,
+            )
+            acc = float(f1_compute(f1, self.multilabel))
+            out[split] = acc
+            self.logger.log(0, {f"Final Accuracy/{split}": acc})
+            print(f"{split} accuracy: {acc}")
+        self.logger.flush()
+        return out

@@ -1,0 +1,64 @@
+"""End-to-end training: the minimum slice (SURVEY.md §7 step 6) on CPU.
+
+Trains a small model with the poisson-bandit sampler on a synthetic graph
+whose features are noisy class prototypes — accuracy must rise well above
+chance and the full pipeline (fused sample/train/exp3 step, validation,
+checkpoint-best, final full-graph eval) must run."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bliss_gnn_tpu.graph.datasets import synthetic_graph
+from bliss_gnn_tpu.graph.structure import Graph, normalized_edata
+from bliss_gnn_tpu.train.trainer import TrainConfig, Trainer
+
+
+def _mk(tmp_path, **kw):
+    g, nc, ml = synthetic_graph(400, 3000, 16, 4, seed=3)
+    g = Graph.canonicalize(g)
+    g.edata["w"] = normalized_edata(g)
+    cfg = TrainConfig(
+        dataset="synth", model=kw.pop("model", "sage"),
+        sampler=kw.pop("sampler", "poisson-bandit"),
+        fan_out=(32, 16), batch_size=32, num_hidden=32, num_layers=2,
+        lr=0.01, num_epochs=kw.pop("num_epochs", 6),
+        logdir=str(tmp_path), lr_step_size=100,
+        disable_checkpoint=True, **kw,
+    )
+    return Trainer(cfg, graph=g, n_classes=nc, multilabel=ml)
+
+
+@pytest.mark.parametrize("sampler", ["poisson-bandit", "ladies", "neighbor"])
+def test_training_learns(tmp_path, sampler):
+    tr = _mk(tmp_path, sampler=sampler)
+    tr.fit()
+    tr.restore_best()
+    res = tr.final_eval()
+    assert res["Train"] > 0.55, res  # 4 classes -> chance 0.25
+    assert res["Test"] > 0.45, res
+
+
+def test_training_gat(tmp_path):
+    tr = _mk(tmp_path, model="gat", num_epochs=5)
+    tr.fit()
+    res = tr.final_eval()
+    assert res["Train"] > 0.4, res
+
+
+def test_exp3_state_evolves_and_stays_normalized(tmp_path):
+    tr = _mk(tmp_path, num_epochs=2)
+    w0 = np.asarray(tr.state.exp3_weights.astype(jnp.float32))
+    tr.fit()
+    w1 = np.asarray(tr.state.exp3_weights.astype(jnp.float32))
+    assert not np.array_equal(w0, w1)
+    sums = np.abs(w1).sum(axis=1)
+    np.testing.assert_allclose(sums, 1.0, rtol=0.02)
+    assert int(tr.state.step) == tr.global_step > 0
+
+
+def test_val_metrics_and_early_stop_target(tmp_path):
+    tr = _mk(tmp_path, num_epochs=50, val_acc_target=0.3)
+    tr.fit()
+    # target 0.3 is easy -> early stop long before 50 epochs
+    assert tr._stop
+    assert tr.best_val_acc >= 0.3
