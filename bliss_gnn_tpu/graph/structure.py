@@ -75,12 +75,24 @@ class Graph:
         assert src.shape == dst.shape
         self.n_nodes = int(n_nodes)
         self.n_edges = int(src.shape[0])
-        csc_indptr, csc_src, perm = _build_csc(src, dst, self.n_nodes)
+        # native C++ builders when available (native/graphcore.cpp); the
+        # numpy fallbacks produce bit-identical arrays (tested)
+        from bliss_gnn_tpu.graph import native as _native
+
+        if _native.available():
+            csc_indptr, csc_src, perm = _native.build_csc(
+                src, dst, self.n_nodes
+            )
+            csr_indptr, csr_dst, csr_eid = _native.build_csr_from_csc(
+                csc_indptr, csc_src, self.n_nodes
+            )
+        else:
+            csc_indptr, csc_src, perm = _build_csc(src, dst, self.n_nodes)
+            csr_indptr, csr_dst, csr_eid = _build_csr_from_csc(
+                csc_indptr, csc_src, self.n_nodes
+            )
         self.csc_indptr = csc_indptr
         self.csc_src = csc_src
-        csr_indptr, csr_dst, csr_eid = _build_csr_from_csc(
-            csc_indptr, csc_src, self.n_nodes
-        )
         self.csr_indptr = csr_indptr
         self.csr_dst = csr_dst
         self.csr_eid = csr_eid

@@ -1,0 +1,366 @@
+"""Banded Pallas SpMM — the hot full-graph aggregation kernel.
+
+Why: XLA's row gather runs at ~70 GB/s and its scatter/segment-sum at
+~50 GB/s on TPU v5e (measured; the HBM stream rate is 819 GB/s).  Both are
+avoidable because the graph is static: a one-time host preprocessing pass
+reorganizes the edge list into a *banded, windowed* layout and the SpMM
+becomes, per src band:
+
+    band features resident in VMEM  ->  per-edge row gather is a VMEM read
+    weighted one-hot [WR x ET] @ msgs [ET x F] on the MXU (replaces scatter)
+    dst windows accumulated in-place via an aliased output block
+
+Layout (``build_banded_layout``):
+- src nodes banded into blocks of ``band`` rows; each band's features are
+  sliced once per sweep and live in VMEM for the whole sweep;
+- dst nodes windowed into aligned blocks of ``wr`` rows; tiles are sorted
+  (band, window, dst), so within one band sweep each window is visited by
+  exactly one consecutive run of tiles;
+- edges cut into uniform tiles of ``et`` edges, zero-weight padded.
+
+Correctness of the accumulation: one ``pallas_call`` per band.  Within a
+call a window appears in a single consecutive tile run, so the first tile
+of the run reads the aliased accumulator block (fresh — the last write to
+it happened in a previous call) and later tiles accumulate into the
+still-resident output block.  No read-after-write hazards with the block
+prefetcher.
+
+Hardware constraints baked into the shape of this code (probed on a real
+v5e, jax 0.9 — see tests/test_spmm_pallas.py and SURVEY.md §7):
+- data-dependent dynamic indexing works on 2-D refs only -> features and
+  accumulator are flat 2-D arrays;
+- scalar indices must be read from SMEM (VMEM scalar reads and VMEM->SMEM
+  DMAs crash Mosaic) -> per-tile src indices are an SMEM-blocked input;
+- bf16 (1, F) dynamic row slices are unsupported (bf16 min sublane tile is
+  16) -> bands and the msgs scratch are f32; the one-hot contraction runs
+  in bf16 after one vectorized cast;
+- ``tpu.dynamic_gather`` (vectorized take_along_axis) only works within 8
+  sublanes -> the gather is a sequential row loop (~9 cycles/row measured),
+  the current bottleneck.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class BandedMeta:
+    n_nodes: int
+    n_edges: int
+    band: int
+    wr: int
+    et: int
+    n_bands: int
+    n_wins: int
+    n_tiles: int
+    band_tile_ranges: Tuple[Tuple[int, int, int], ...]  # (band_id, t0, t1)
+
+
+@dataclasses.dataclass(frozen=True)
+class BandedLayout:
+    """Host-precomputed tiling of a (dst-sorted) edge list."""
+
+    meta: BandedMeta
+    tile_win: np.ndarray  # [T] int32
+    tile_first: np.ndarray  # [T] int32 — 1 on the first tile of a window run
+    src_rel: np.ndarray  # [T*ET] int32, src - band_id*band
+    dst_rel: np.ndarray  # [T, 1, ET] int32, dst - win_id*wr
+    edge_w: np.ndarray  # [T, 1, ET] f32 (0 on padding)
+    edge_perm: np.ndarray  # [T, ET] int64 — canonical eid per slot (-1 pad)
+
+
+def build_banded_layout(
+    csc_indptr: np.ndarray,
+    csc_src: np.ndarray,
+    edge_vals: Optional[np.ndarray] = None,
+    band: int = 16384,
+    wr: int = 256,
+    et: int = 2048,
+) -> BandedLayout:
+    """Sort canonical (dst-grouped) edges by (src band, dst window) and cut
+    into uniform zero-padded tiles.  Uses the native C++ builder when
+    available (native/graphcore.cpp, ~5x faster at 100M-edge scale); the
+    numpy path below is the tested-identical fallback."""
+    from bliss_gnn_tpu.graph import native as _native
+
+    if _native.available():
+        arrs = _native.banded_layout_arrays(
+            np.asarray(csc_indptr, np.int64), np.asarray(csc_src, np.int64),
+            edge_vals, band, wr, et,
+        )
+        if arrs is not None:
+            return _layout_from_arrays(arrs, len(csc_indptr) - 1,
+                                       len(csc_src), band, wr, et)
+    n_nodes = len(csc_indptr) - 1
+    n_edges = len(csc_src)
+    dst = np.repeat(np.arange(n_nodes, dtype=np.int64), np.diff(csc_indptr))
+    src = np.asarray(csc_src, dtype=np.int64)
+    band_id = src // band
+    win_id = dst // wr
+    order = np.lexsort((dst, win_id, band_id))
+    b_s = band_id[order]
+    w_s = win_id[order]
+    n_wins = _round_up(max(n_nodes, 1), wr) // wr
+    key = b_s * n_wins + w_s
+    if n_edges:
+        bucket_start = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bucket_end = np.r_[bucket_start[1:], n_edges]
+    else:
+        bucket_start = bucket_end = np.array([], np.int64)
+    tile_starts: List[int] = []
+    tile_is_first: List[int] = []
+    for s, e in zip(bucket_start, bucket_end):
+        rng = range(s, e, et)
+        tile_starts.extend(rng)
+        tile_is_first.extend([1] + [0] * (len(rng) - 1))
+    tile_starts_a = np.asarray(tile_starts, dtype=np.int64)
+    n_tiles = max(1, len(tile_starts_a))
+
+    src_rel = np.zeros((n_tiles, et), np.int32)
+    dst_rel = np.zeros((n_tiles, et), np.int32)
+    edge_w = np.zeros((n_tiles, et), np.float32)
+    edge_perm = np.full((n_tiles, et), -1, np.int64)
+    tile_band = np.zeros(n_tiles, np.int32)
+    tile_win = np.zeros(n_tiles, np.int32)
+    tile_first = np.ones(n_tiles, np.int32)
+    w_all = (
+        np.ones(n_edges, np.float32)
+        if edge_vals is None
+        else np.asarray(edge_vals, np.float32)
+    )
+    if n_edges:
+        tile_first[: len(tile_is_first)] = tile_is_first
+        tile_of_edge = (
+            np.searchsorted(tile_starts_a, np.arange(n_edges), "right") - 1
+        )
+        slot = np.arange(n_edges) - tile_starts_a[tile_of_edge]
+        src_rel[tile_of_edge, slot] = (src[order] - b_s * band).astype(np.int32)
+        dst_rel[tile_of_edge, slot] = (dst[order] - w_s * wr).astype(np.int32)
+        edge_w[tile_of_edge, slot] = w_all[order]
+        edge_perm[tile_of_edge, slot] = order  # canonical eids (order values)
+        tile_band[tile_of_edge] = b_s.astype(np.int32)
+        tile_win[tile_of_edge] = w_s.astype(np.int32)
+    # contiguous tile range per band (tiles are band-sorted)
+    ranges = []
+    t = 0
+    while t < n_tiles:
+        b = int(tile_band[t])
+        t1 = t
+        while t1 < n_tiles and tile_band[t1] == b:
+            t1 += 1
+        ranges.append((b, t, t1))
+        t = t1
+    meta = BandedMeta(
+        n_nodes=n_nodes, n_edges=n_edges, band=band, wr=wr, et=et,
+        n_bands=_round_up(max(n_nodes, 1), band) // band,
+        n_wins=n_wins, n_tiles=n_tiles,
+        band_tile_ranges=tuple(ranges),
+    )
+    return BandedLayout(
+        meta=meta, tile_win=tile_win, tile_first=tile_first,
+        src_rel=src_rel.reshape(-1), dst_rel=dst_rel[:, None, :],
+        edge_w=edge_w[:, None, :], edge_perm=edge_perm,
+    )
+
+
+def _layout_from_arrays(arrs, n_nodes, n_edges, band, wr, et):
+    tile_band = arrs["tile_band"]
+    n_tiles = len(tile_band)
+    ranges = []
+    t = 0
+    while t < n_tiles:
+        b = int(tile_band[t])
+        t1 = t
+        while t1 < n_tiles and tile_band[t1] == b:
+            t1 += 1
+        ranges.append((b, t, t1))
+        t = t1
+    meta = BandedMeta(
+        n_nodes=n_nodes, n_edges=n_edges, band=band, wr=wr, et=et,
+        n_bands=_round_up(max(n_nodes, 1), band) // band,
+        n_wins=_round_up(max(n_nodes, 1), wr) // wr, n_tiles=n_tiles,
+        band_tile_ranges=tuple(ranges),
+    )
+    return BandedLayout(
+        meta=meta, tile_win=arrs["tile_win"], tile_first=arrs["tile_first"],
+        src_rel=arrs["src_rel"], dst_rel=arrs["dst_rel"],
+        edge_w=arrs["edge_w"], edge_perm=arrs["edge_perm"],
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceBandedLayout:
+    tile_win: jax.Array
+    tile_first: jax.Array
+    src_rel: jax.Array
+    dst_rel: jax.Array
+    edge_w: jax.Array
+    meta: BandedMeta
+
+    @staticmethod
+    def from_host(l: BandedLayout) -> "DeviceBandedLayout":
+        return DeviceBandedLayout(
+            tile_win=jnp.asarray(l.tile_win),
+            tile_first=jnp.asarray(l.tile_first),
+            src_rel=jnp.asarray(l.src_rel),
+            dst_rel=jnp.asarray(l.dst_rel),
+            edge_w=jnp.asarray(l.edge_w),
+            meta=l.meta,
+        )
+
+
+jax.tree_util.register_pytree_node(
+    DeviceBandedLayout,
+    lambda d: ((d.tile_win, d.tile_first, d.src_rel, d.dst_rel, d.edge_w),
+               d.meta),
+    lambda meta, ch: DeviceBandedLayout(*ch, meta=meta),
+)
+
+
+def _spmm_kernel(et: int, wr: int, f: int, unroll: int):
+    def kernel(
+        tile_win_ref,  # scalar prefetch [nt] SMEM (drives the window map)
+        tile_first_ref,  # scalar prefetch [nt] SMEM
+        src_rel_ref,  # [et] SMEM (blocked input)
+        dst_rel_ref,  # [1, 1, et] VMEM int32
+        w_ref,  # [1, 1, et] VMEM f32
+        band_ref,  # [band, f] VMEM f32 (whole-band input, constant per call)
+        acc_in_ref,  # [wr, f] VMEM f32 (aliased with the output)
+        acc_out_ref,  # [wr, f] VMEM f32
+        msgs_ref,  # scratch [et, f] f32
+    ):
+        t = pl.program_id(0)
+
+        def body(i, _):
+            base = i * unroll
+            for j in range(unroll):  # manual unroll (pallas fori unroll is
+                # restricted to 1 or num_steps)
+                msgs_ref[pl.ds(base + j, 1), :] = band_ref[
+                    pl.ds(src_rel_ref[base + j], 1), :
+                ]
+            return 0
+
+        jax.lax.fori_loop(0, et // unroll, body, 0)
+        rel = dst_rel_ref[0, 0, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (wr, et), 0)
+        onehot = jnp.where(
+            rows == rel[None, :], w_ref[0, 0, :][None, :], 0.0
+        ).astype(jnp.bfloat16)
+        part = jnp.dot(
+            onehot, msgs_ref[:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        first = tile_first_ref[t] == 1
+
+        @pl.when(first)
+        def _():
+            # first tile of this window's (unique, consecutive) run in this
+            # band sweep: fold in the accumulator fetched from HBM
+            acc_out_ref[:, :] = acc_in_ref[:, :] + part
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            # same output block as the previous tile — still resident
+            acc_out_ref[:, :] = acc_out_ref[:, :] + part
+
+    return kernel
+
+
+def banded_spmm(
+    x2d: jax.Array,  # [n_bands*band, f] f32 (zero-padded)
+    layout: DeviceBandedLayout,
+    acc: Optional[jax.Array] = None,  # [n_wins*wr, f] f32
+    unroll: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """acc[n_wins*wr, f] f32 += segment-sum of w_e * x[src(e)] by dst.
+
+    One pallas_call per src band; sequential calls keep the aliased
+    accumulator consistent (see module docstring).
+    """
+    m = layout.meta
+    f = x2d.shape[-1]
+    assert f % 128 == 0, f"feature dim {f} must be lane-aligned"
+    if acc is None:
+        acc = jnp.zeros((m.n_wins * m.wr, f), jnp.float32)
+    kernel = _spmm_kernel(m.et, m.wr, f, unroll)
+    for band_id, t0, t1 in m.band_tile_ranges:
+        nt = t1 - t0
+        band_slice = jax.lax.dynamic_slice_in_dim(
+            x2d, band_id * m.band, m.band, axis=0
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((m.et,), lambda i, tw, tf: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, m.et), lambda i, tw, tf: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, m.et), lambda i, tw, tf: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # whole band
+                pl.BlockSpec((m.wr, f), lambda i, tw, tf: (tw[i], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (m.wr, f), lambda i, tw, tf: (tw[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((m.et, f), jnp.float32)],
+        )
+        acc = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((m.n_wins * m.wr, f), jnp.float32),
+            grid_spec=grid_spec,
+            input_output_aliases={6: 0},  # acc (operand idx incl. prefetch)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            layout.tile_win[t0:t1],
+            layout.tile_first[t0:t1],
+            jax.lax.dynamic_slice_in_dim(
+                layout.src_rel, t0 * m.et, nt * m.et
+            ),
+            layout.dst_rel[t0:t1],
+            layout.edge_w[t0:t1],
+            band_slice,
+            acc,
+        )
+    return acc
+
+
+def band_features(x: jax.Array, band: int, n_bands: int,
+                  f_pad: Optional[int] = None) -> jax.Array:
+    """Pad [N, F] features to the flat [n_bands*band, f_pad] f32 the kernel
+    consumes (F lane-padded to a multiple of 128)."""
+    n, fdim = x.shape
+    f_pad = f_pad or _round_up(fdim, 128)
+    xb = jnp.zeros((n_bands * band, f_pad), jnp.float32)
+    return xb.at[:n, :fdim].set(x.astype(jnp.float32))
+
+
+def spmm_via_pallas(
+    x: jax.Array, layout: DeviceBandedLayout, n_nodes: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Convenience wrapper: [N, F] in -> [N, F] f32 out."""
+    m = layout.meta
+    f = x.shape[1]
+    xb = band_features(x, m.band, m.n_bands)
+    out = banded_spmm(xb, layout, interpret=interpret)
+    return out[:n_nodes, :f]

@@ -583,16 +583,12 @@ def _calculate_rewards(
     return jnp.where(block.e_mask, r, 0.0)
 
 
-def _update_row(
-    graph: DeviceGraph, cfg: SamplerConfig, row: jax.Array, block: Block,
-    rewards: jax.Array,
+def _edge_delta(
+    graph: DeviceGraph, cfg: SamplerConfig, block: Block, rewards: jax.Array,
 ) -> jax.Array:
-    """STEP_07 (bandit_sampler.py:195-249): multiplicative EXP3 update with
-    constant delta, clipped exponent, then full-row L1 normalization.
-
-    w_e *= exp(min(delta * (r_e / P_src) / n_i, 1));  row /= ||row||_1.
-    The row sum runs in f32 even when the state is bf16 (the reference
-    normalizes in bf16 — a pure precision upgrade)."""
+    """The clipped EXP3 exponent per kept edge:
+    dr_e = min(delta * (r_e / P_src) / n_i, 1)  (bandit_sampler.py:236-246).
+    Masked edges carry 0 (multiplier 1)."""
     p_src = jnp.take(block.src_node_prob, block.e_src)
     r_hat = rewards / jnp.where(p_src > 0, p_src, 1.0)
     dst_gid = jnp.take(block.dst_gids, jnp.clip(block.e_dst, 0, block.n_dst_cap - 1))
@@ -602,15 +598,49 @@ def _update_row(
     ).astype(jnp.float32)
     dr = r_hat * (cfg.exp3_delta / jnp.maximum(n_i, 1.0))
     dr = jnp.minimum(dr, 1.0)  # delta_reward[delta_reward > 1] = 1
-    mult = jnp.where(block.e_mask, jnp.exp(dr), 1.0)
-    # scatter-multiply touched edges in the state dtype (no full-row f32
-    # materialization: only the touched gather, one full-row f32-accumulated
-    # sum, and one scaled write — the minimum the per-step L1 normalization
-    # admits)
-    row = row.at[block.eid].multiply(mult.astype(row.dtype))
-    norm = jnp.sum(row, dtype=jnp.float32)  # weights are positive
-    inv = (1.0 / jnp.maximum(norm, 1e-12)).astype(row.dtype)
-    return row * inv
+    return jnp.where(block.e_mask, dr, 0.0)
+
+
+def exp3_edge_deltas(
+    graph: DeviceGraph,
+    cfg: SamplerConfig,
+    blocks: Sequence[Block],
+    embed_norms: Sequence[jax.Array],
+    a_ijs: Optional[Sequence[Optional[jax.Array]]] = None,
+) -> List[Tuple[jax.Array, jax.Array]]:
+    """Per layer: (global eids [e_cap], exponents dr [e_cap]) — the sparse
+    representation of the multiplicative update.  Under data parallelism
+    these small lists are what gets all-gathered (instead of a dense [L, E]
+    delta), so the arm weights stay globally consistent at negligible
+    communication cost."""
+    out = []
+    for idx, block in enumerate(blocks):
+        a_ij = None if a_ijs is None else a_ijs[idx]
+        alpha = _calculate_alpha(graph, cfg, block, a_ij)
+        rewards = _calculate_rewards(cfg, block, alpha, embed_norms[idx])
+        out.append((block.eid, _edge_delta(graph, cfg, block, rewards)))
+    return out
+
+
+def apply_exp3_deltas(
+    exp3_weights: jax.Array,
+    deltas: Sequence[Tuple[jax.Array, jax.Array]],
+) -> jax.Array:
+    """w[eid] *= exp(dr), then L1-normalize each row
+    (bandit_sampler.py:248-249).  Scatter-multiply runs in the state dtype
+    (no full-row f32 materialization — only the touched gather, one
+    f32-accumulated row sum, and one scaled write); duplicate eids (e.g.
+    the same edge updated by several data-parallel shards) compose
+    multiplicatively, as scatter-mul applies every update."""
+    rows = []
+    for idx, (eid, dr) in enumerate(deltas):
+        row = exp3_weights[idx]
+        mult = jnp.exp(dr).astype(row.dtype)
+        row = row.at[eid.reshape(-1)].multiply(mult.reshape(-1))
+        norm = jnp.sum(row, dtype=jnp.float32)  # weights are positive
+        inv = (1.0 / jnp.maximum(norm, 1e-12)).astype(row.dtype)
+        rows.append(row * inv)
+    return jnp.stack(rows)
 
 
 def exp3_update(
@@ -625,12 +655,5 @@ def exp3_update(
     BatchSizeCallback.on_train_batch_end, train_lightning.py:463-471):
     per block — alpha, rewards, arm-weight update.  Pure function of the
     state; fuse into the train step."""
-    rows = []
-    for idx, block in enumerate(blocks):
-        a_ij = None if a_ijs is None else a_ijs[idx]
-        alpha = _calculate_alpha(graph, cfg, block, a_ij)
-        rewards = _calculate_rewards(cfg, block, alpha, embed_norms[idx])
-        rows.append(
-            _update_row(graph, cfg, exp3_weights[idx], block, rewards)
-        )
-    return jnp.stack(rows)
+    deltas = exp3_edge_deltas(graph, cfg, blocks, embed_norms, a_ijs)
+    return apply_exp3_deltas(exp3_weights, deltas)
