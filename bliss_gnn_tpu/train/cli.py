@@ -80,6 +80,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--frontier-slack", type=float, default=8.0)
     p.add_argument("--block-edge-slack", type=float, default=4.0)
     p.add_argument("--max-frontier-edges", type=int, default=-1)
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler trace of N training steps")
     return p
 
 
@@ -123,6 +125,7 @@ def config_from_args(args) -> "TrainConfig":
         max_frontier_edges=(
             None if args.max_frontier_edges <= 0 else args.max_frontier_edges
         ),
+        profile_steps=args.profile_steps,
         compute_dtype="float32" if args.precision == "highest" else "bfloat16",
     )
 

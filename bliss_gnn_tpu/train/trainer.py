@@ -97,6 +97,8 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     exp3_dtype: str = "bfloat16"
+    # observability: capture a jax.profiler trace of steps [2, 2+profile_steps)
+    profile_steps: int = 0
 
     @property
     def run_name(self) -> str:
@@ -254,10 +256,19 @@ class Trainer:
             smask = jnp.ones(self.batch_size, bool)
             for b in range(batches.shape[0]):
                 seeds = jnp.asarray(batches[b])
+                if cfg.profile_steps > 0 and self.global_step == 2:
+                    jax.profiler.start_trace(
+                        os.path.join(self.run_dir, "profile")
+                    )
                 st = time.time()
                 self.state, metrics = self.train_step(self.state, seeds, smask)
                 metrics = jax.device_get(metrics)
                 fb_time = time.time() - st
+                if (
+                    cfg.profile_steps > 0
+                    and self.global_step == 2 + cfg.profile_steps
+                ):
+                    jax.profiler.stop_trace()
                 self.global_step += 1
                 self._log_train_step(metrics, prev_t, fb_time)
                 prev_t = time.time()
@@ -351,9 +362,29 @@ class Trainer:
         if self.best_state is not None:
             self.state = jax.device_put(self.best_state)
 
+    def load_checkpoint(self, path: Optional[str] = None):
+        """Restore the full state pytree (params, opt_state, EXP3 arm
+        weights, PRNG key, step) from an orbax checkpoint — resume support
+        the reference lacks (its EXP3 state is never checkpointed,
+        SURVEY.md §5.4)."""
+        import orbax.checkpoint as ocp
+
+        if path is None:
+            path = os.path.join(
+                os.path.abspath(self.run_dir), "checkpoints", "best"
+            )
+        ckptr = ocp.StandardCheckpointer()
+        template = jax.tree.map(np.asarray, jax.device_get(self.state))
+        restored = ckptr.restore(path, template)
+        self.state = jax.device_put(restored)
+        self.best_state = restored
+        return self
+
     def _early_stopping(self, val_acc: float):
         if math.isnan(val_acc):
             return
+        if self.global_step < self.cfg.min_steps:
+            return  # Trainer(min_steps=...) parity (train_lightning.py:653)
         if val_acc >= self.cfg.val_acc_target:
             self._stop = True
         if self._epochs_since_improve >= self.cfg.early_stopping_patience:

@@ -94,3 +94,26 @@ def test_dp_matches_single_device_exp3_semantics():
     np.testing.assert_allclose(sums, 1.0, rtol=0.02)
     changed = int(jnp.sum(s_dp.exp3_weights[0] != s_dp.exp3_weights[0][0]))
     assert changed > 0
+
+
+def test_edge_sharded_spmm_matches_dense():
+    """Edge-partitioned full-graph aggregation on the 8-device CPU mesh
+    equals the single-device chunked SpMM."""
+    from bliss_gnn_tpu.graph.datasets import synthetic_graph
+    from bliss_gnn_tpu.graph.structure import Graph, normalized_edata
+    from bliss_gnn_tpu.parallel.edgeshard import EdgeShards, sharded_mean_aggregate
+    from bliss_gnn_tpu.parallel.mesh import make_mesh
+    from bliss_gnn_tpu.ops.fullgraph import full_spmm_mean
+
+    g, _, _ = synthetic_graph(300, 2500, 12, 4, seed=9)
+    g = Graph.canonicalize(g)
+    dg = g.to_device()
+    mesh = make_mesh(8)
+    shards = EdgeShards.build(g, 8)
+    x = dg.ndata["features"].astype(jnp.float32)
+    out = sharded_mean_aggregate(
+        mesh, shards, x, dg.in_degrees(), g.n_nodes
+    )
+    ref = full_spmm_mean(x, dg.csc_indptr, dg.csc_src, g.n_nodes, g.n_edges)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
