@@ -60,8 +60,17 @@ def build_graph():
     return indptr, csc_src
 
 
+def _log(msg):
+    if os.environ.get("BLISS_BENCH_VERBOSE"):
+        print(f"[bench +{time.time()-_T0:.0f}s] {msg}", flush=True)
+
+
+_T0 = time.time()
+
+
 def main():
     indptr, csc_src = build_graph()
+    _log("graph ready")
     n_edges = len(csc_src)
     from bliss_gnn_tpu.ops.spmm_pallas import (
         DeviceBandedLayout,
@@ -74,7 +83,10 @@ def main():
     w = np.random.default_rng(1).random(n_edges).astype(np.float32)
     layout = build_banded_layout(indptr, csc_src, w, band=16384, wr=256,
                                  et=2048)
+    _log(f"layout built: tiles={layout.meta.n_tiles}")
     dl = DeviceBandedLayout.from_host(layout)
+    jax.block_until_ready(dl.src_rel)
+    _log("layout on device")
     m = layout.meta
     rng = np.random.default_rng(2)
     x = jnp.asarray(
@@ -83,11 +95,13 @@ def main():
     )
     xb = band_features(x, m.band, m.n_bands)
     acc0 = jnp.zeros((m.n_wins * m.wr, xb.shape[1]), jnp.float32)
+    _log("features banded")
 
     pallas_fn = jax.jit(
         lambda xb, acc, dl: banded_spmm(xb, dl, acc)[0, 0]
     )
     float(pallas_fn(xb, acc0, dl))  # compile + warmup
+    _log("pallas compiled + warm")
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -96,26 +110,36 @@ def main():
     t_pallas = min(ts)
     edges_per_s = n_edges / t_pallas
 
-    # baseline: the XLA chunked segment-sum path (what a naive port does)
-    dg_indptr = jnp.asarray(indptr, jnp.int32)
-    dg_src = jnp.asarray(csc_src, jnp.int32)
-    wd = jnp.asarray(w)
+    # baseline: the XLA chunked segment-sum path (what a naive port of the
+    # reference's gspmm does).  Measured on a ~16M-edge dst-prefix of the
+    # same graph — its edges/s rate is scale-invariant (verified at 10%/
+    # 100% scale) and the full-graph XLA program takes >10min to compile
+    # through the remote-compile tunnel.
+    sub_edges = min(n_edges, 16_000_000)
+    nk = int(np.searchsorted(indptr, sub_edges))
+    sub_edges = int(indptr[nk])
+    dg_indptr = jnp.asarray(indptr[: nk + 1], jnp.int32)
+    dg_src = jnp.asarray(csc_src[:sub_edges], jnp.int32)
+    wd = jnp.asarray(w[:sub_edges])
     xla_fn = jax.jit(
-        lambda x: full_spmm_sum(
-            x, dg_indptr, dg_src, N_NODES, n_edges, edge_vals=wd,
-            chunk=1 << 18,
-        )[0, 0]
+        lambda x, ip, sr, wv: full_spmm_sum(
+            x, ip, sr, nk, sub_edges, edge_vals=wv, chunk=1 << 18,
+        )[0, 0],
+        static_argnames=(),
     )
-    float(xla_fn(x))
+    _log("xla baseline compiling")
+    float(xla_fn(x, dg_indptr, dg_src, wd))
+    _log("xla baseline warm")
     t0 = time.perf_counter()
-    float(xla_fn(x))
+    float(xla_fn(x, dg_indptr, dg_src, wd))
     t_xla = time.perf_counter() - t0 - DISPATCH_OVERHEAD_S
+    xla_edges_per_s = sub_edges / t_xla
 
     print(json.dumps({
         "metric": "spmm_agg_edges_per_s_reddit",
         "value": round(edges_per_s / 1e6, 1),
         "unit": "M edges/s/chip",
-        "vs_baseline": round(t_xla / t_pallas, 2),
+        "vs_baseline": round(edges_per_s / xla_edges_per_s, 2),
     }))
 
 

@@ -27,36 +27,66 @@ from bliss_gnn_tpu.ops.fullgraph import (
 )
 
 
-def _sage_layer(p, graph: DeviceGraph, h: jax.Array, dtype) -> jax.Array:
+def _default_spmm(graph: DeviceGraph):
+    """Unit-weight full-graph SpMM: [N, F'] -> [N, F'] f32 sums by dst."""
+    def spmm(feat):
+        return full_spmm_sum(
+            feat, graph.csc_indptr, graph.csc_src, graph.n_nodes,
+            graph.n_edges,
+        )
+    return spmm
+
+
+def make_pallas_spmm(graph: DeviceGraph, band: int = 16384, wr: int = 256,
+                     et: int = 2048):
+    """Banded-Pallas-backed unit-weight SpMM closure for inference on TPU
+    (ops/spmm_pallas.py); builds the layout once per graph."""
+    from bliss_gnn_tpu.ops.spmm_pallas import (
+        DeviceBandedLayout,
+        build_banded_layout,
+        spmm_via_pallas,
+    )
+    import numpy as np
+
+    layout = build_banded_layout(
+        np.asarray(graph.csc_indptr), np.asarray(graph.csc_src),
+        None, band=band, wr=wr, et=et,
+    )
+    dl = DeviceBandedLayout.from_host(layout)
+
+    def spmm(feat):
+        return spmm_via_pallas(feat, dl, graph.n_nodes)
+    return spmm
+
+
+def _sage_layer(p, graph: DeviceGraph, h: jax.Array, dtype,
+                spmm=None) -> jax.Array:
     Wn = p["fc_neigh"]["kernel"].astype(dtype)
     Ws = p["fc_self"]["kernel"].astype(dtype)
     b = p["bias"].astype(jnp.float32)
     lin_before = h.shape[1] > Wn.shape[1]
     src_val = (h.astype(dtype) @ Wn) if lin_before else h.astype(dtype)
-    agg = full_spmm_mean(
-        src_val, graph.csc_indptr, graph.csc_src, graph.n_nodes, graph.n_edges
-    )
+    spmm = spmm or _default_spmm(graph)
+    deg = jnp.maximum(graph.in_degrees().astype(jnp.float32), 1.0)
+    agg = spmm(src_val) / deg[:, None]
     h_neigh = agg if lin_before else agg.astype(dtype) @ Wn
     return (h.astype(dtype) @ Ws).astype(jnp.float32) + h_neigh + b
 
 
-def _gcn_layer(p, graph: DeviceGraph, h: jax.Array, dtype) -> jax.Array:
+def _gcn_layer(p, graph: DeviceGraph, h: jax.Array, dtype,
+               spmm=None) -> jax.Array:
     W = p["weight"]["kernel"].astype(dtype)
     b = p["weight"]["bias"].astype(jnp.float32)
     out_deg = graph.out_degrees().astype(jnp.float32)
     in_deg = graph.in_degrees().astype(jnp.float32)
+    spmm = spmm or _default_spmm(graph)
     feat = h.astype(dtype) * jax.lax.rsqrt(jnp.maximum(out_deg, 1.0))[
         :, None
     ].astype(dtype)
     if h.shape[1] > W.shape[1]:
-        feat = feat @ W
-        agg = full_spmm_sum(
-            feat, graph.csc_indptr, graph.csc_src, graph.n_nodes, graph.n_edges
-        )
+        agg = spmm(feat @ W)
     else:
-        agg = full_spmm_sum(
-            feat, graph.csc_indptr, graph.csc_src, graph.n_nodes, graph.n_edges
-        ).astype(dtype) @ W
+        agg = spmm(feat).astype(dtype) @ W
         agg = agg.astype(jnp.float32)
     return agg * jax.lax.rsqrt(jnp.maximum(in_deg, 1.0))[:, None] + b
 
@@ -93,21 +123,25 @@ def layerwise_inference(
     negative_slope: float = 0.2,
     residual: bool = False,
     dtype=jnp.bfloat16,
+    spmm=None,
 ) -> jax.Array:
     """Run every layer over the full graph; returns [N, n_classes] logits
     (f32).  Dropout off (eval), activations between layers per model
-    (ReLU for SAGE, ReLU-in-conv for GCN, ELU + head flatten for GATv2)."""
+    (ReLU for SAGE, ReLU-in-conv for GCN, ELU + head flatten for GATv2).
+
+    ``spmm``: optional unit-weight SpMM backend (e.g. make_pallas_spmm) for
+    SAGE/GCN; GAT keeps the streaming-softmax XLA path."""
     p = params["params"]
     h = graph.ndata["features"].astype(jnp.float32)
     name = model_name.lower()
     for l in range(n_layers):
         last = l == n_layers - 1
         if name == "sage":
-            h = _sage_layer(p[f"layers_{l}"], graph, h, dtype)
+            h = _sage_layer(p[f"layers_{l}"], graph, h, dtype, spmm=spmm)
             if not last:
                 h = jax.nn.relu(h)
         elif name == "gcn":
-            h = _gcn_layer(p[f"layers_{l}"], graph, h, dtype)
+            h = _gcn_layer(p[f"layers_{l}"], graph, h, dtype, spmm=spmm)
             if not last:
                 h = jax.nn.relu(h)
         elif name == "gat":

@@ -65,7 +65,8 @@ class BandedMeta:
     n_bands: int
     n_wins: int
     n_tiles: int
-    band_tile_ranges: Tuple[Tuple[int, int, int], ...]  # (band_id, t0, t1)
+    nt_per_band: int  # tiles per band after padding (uniform -> ONE kernel
+    # compilation shared by every band sweep)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,12 +74,12 @@ class BandedLayout:
     """Host-precomputed tiling of a (dst-sorted) edge list."""
 
     meta: BandedMeta
-    tile_win: np.ndarray  # [T] int32
-    tile_first: np.ndarray  # [T] int32 — 1 on the first tile of a window run
-    src_rel: np.ndarray  # [T*ET] int32, src - band_id*band
-    dst_rel: np.ndarray  # [T, 1, ET] int32, dst - win_id*wr
-    edge_w: np.ndarray  # [T, 1, ET] f32 (0 on padding)
-    edge_perm: np.ndarray  # [T, ET] int64 — canonical eid per slot (-1 pad)
+    tile_win: np.ndarray  # [B, NT] int32
+    tile_first: np.ndarray  # [B, NT] int32 — 1 on the first tile of a run
+    src_rel: np.ndarray  # [B, NT*ET] int32, src - band_id*band
+    dst_rel: np.ndarray  # [B*NT, 1, ET] uint8 (wr<=256) — dst - win_id*wr
+    edge_w: np.ndarray  # [B*NT, 1, ET] f32 (0 on padding)
+    edge_perm: np.ndarray  # [B*NT, ET] int64 — canonical eid per slot (-1)
 
 
 def build_banded_layout(
@@ -152,52 +153,71 @@ def build_banded_layout(
         edge_perm[tile_of_edge, slot] = order  # canonical eids (order values)
         tile_band[tile_of_edge] = b_s.astype(np.int32)
         tile_win[tile_of_edge] = w_s.astype(np.int32)
-    # contiguous tile range per band (tiles are band-sorted)
-    ranges = []
+    return _pad_per_band(
+        dict(tile_win=tile_win, tile_first=tile_first, tile_band=tile_band,
+             src_rel=src_rel.reshape(-1), dst_rel=dst_rel[:, None, :],
+             edge_w=edge_w[:, None, :], edge_perm=edge_perm),
+        n_nodes, n_edges, band, wr, et,
+    )
+
+
+def _pad_per_band(arrs, n_nodes, n_edges, band, wr, et):
+    """Pad every band to the same tile count so each band sweep is a
+    pallas_call with identical static shapes (one compile for all bands).
+    Dummy tiles carry zero weights and continue the previous real window
+    (or window 0 with tile_first=1 for an empty band) — both add exactly 0
+    to a well-defined accumulator block."""
+    tile_band = arrs["tile_band"]
+    n_tiles = len(tile_band)
+    n_bands = _round_up(max(n_nodes, 1), band) // band
+    # contiguous tile ranges per band (tiles are band-sorted; bands with no
+    # edges are absent from tile_band)
+    ranges = {}
     t = 0
-    while t < n_tiles:
+    while t < n_tiles and n_edges > 0:
         b = int(tile_band[t])
         t1 = t
         while t1 < n_tiles and tile_band[t1] == b:
             t1 += 1
-        ranges.append((b, t, t1))
+        ranges[b] = (t, t1)
         t = t1
+    nt = max((t1 - t0 for t0, t1 in ranges.values()), default=1)
+    tile_win = np.zeros((n_bands, nt), np.int32)
+    tile_first = np.ones((n_bands, nt), np.int32)
+    src_rel = np.zeros((n_bands, nt * et), np.int32)
+    dst_rel = np.zeros((n_bands * nt, 1, et), np.uint8 if wr <= 256 else np.int32)
+    edge_w = np.zeros((n_bands * nt, 1, et), np.float32)
+    edge_perm = np.full((n_bands * nt, et), -1, np.int64)
+    src_rel_flat = arrs["src_rel"].reshape(n_tiles, et)
+    for b in range(n_bands):
+        if b not in ranges:
+            continue  # dummy band: win 0, first=1, zero weights -> no-op
+        t0, t1 = ranges[b]
+        k = t1 - t0
+        tile_win[b, :k] = arrs["tile_win"][t0:t1]
+        tile_first[b, :k] = arrs["tile_first"][t0:t1]
+        if k < nt:  # dummies continue the band's last window
+            tile_win[b, k:] = arrs["tile_win"][t1 - 1]
+            tile_first[b, k:] = 0
+        src_rel[b, : k * et] = src_rel_flat[t0:t1].reshape(-1)
+        dst_rel[b * nt : b * nt + k] = arrs["dst_rel"][t0:t1]
+        edge_w[b * nt : b * nt + k] = arrs["edge_w"][t0:t1]
+        edge_perm[b * nt : b * nt + k] = arrs["edge_perm"][t0:t1]
     meta = BandedMeta(
         n_nodes=n_nodes, n_edges=n_edges, band=band, wr=wr, et=et,
-        n_bands=_round_up(max(n_nodes, 1), band) // band,
-        n_wins=n_wins, n_tiles=n_tiles,
-        band_tile_ranges=tuple(ranges),
+        n_bands=n_bands,
+        n_wins=_round_up(max(n_nodes, 1), wr) // wr,
+        n_tiles=n_bands * nt, nt_per_band=nt,
     )
     return BandedLayout(
         meta=meta, tile_win=tile_win, tile_first=tile_first,
-        src_rel=src_rel.reshape(-1), dst_rel=dst_rel[:, None, :],
-        edge_w=edge_w[:, None, :], edge_perm=edge_perm,
+        src_rel=src_rel, dst_rel=dst_rel,
+        edge_w=edge_w, edge_perm=edge_perm,
     )
 
 
 def _layout_from_arrays(arrs, n_nodes, n_edges, band, wr, et):
-    tile_band = arrs["tile_band"]
-    n_tiles = len(tile_band)
-    ranges = []
-    t = 0
-    while t < n_tiles:
-        b = int(tile_band[t])
-        t1 = t
-        while t1 < n_tiles and tile_band[t1] == b:
-            t1 += 1
-        ranges.append((b, t, t1))
-        t = t1
-    meta = BandedMeta(
-        n_nodes=n_nodes, n_edges=n_edges, band=band, wr=wr, et=et,
-        n_bands=_round_up(max(n_nodes, 1), band) // band,
-        n_wins=_round_up(max(n_nodes, 1), wr) // wr, n_tiles=n_tiles,
-        band_tile_ranges=tuple(ranges),
-    )
-    return BandedLayout(
-        meta=meta, tile_win=arrs["tile_win"], tile_first=arrs["tile_first"],
-        src_rel=arrs["src_rel"], dst_rel=arrs["dst_rel"],
-        edge_w=arrs["edge_w"], edge_perm=arrs["edge_perm"],
-    )
+    return _pad_per_band(arrs, n_nodes, n_edges, band, wr, et)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,11 +231,17 @@ class DeviceBandedLayout:
 
     @staticmethod
     def from_host(l: BandedLayout) -> "DeviceBandedLayout":
+        # edge weights travel and live as bf16 (they only feed the bf16
+        # one-hot contraction); dst_rel travels as uint8 (wr <= 256) and is
+        # widened to int32 on device — Mosaic's iota compare needs i32
+        dst_rel = jnp.asarray(l.dst_rel)
+        if dst_rel.dtype != jnp.int32:
+            dst_rel = dst_rel.astype(jnp.int32)
         return DeviceBandedLayout(
             tile_win=jnp.asarray(l.tile_win),
             tile_first=jnp.asarray(l.tile_first),
             src_rel=jnp.asarray(l.src_rel),
-            dst_rel=jnp.asarray(l.dst_rel),
+            dst_rel=dst_rel,
             edge_w=jnp.asarray(l.edge_w),
             meta=l.meta,
         )
@@ -234,7 +260,7 @@ def _spmm_kernel(et: int, wr: int, f: int, unroll: int):
         tile_win_ref,  # scalar prefetch [nt] SMEM (drives the window map)
         tile_first_ref,  # scalar prefetch [nt] SMEM
         src_rel_ref,  # [et] SMEM (blocked input)
-        dst_rel_ref,  # [1, 1, et] VMEM int32
+        dst_rel_ref,  # [1, 1, et] VMEM uint8/int32
         w_ref,  # [1, 1, et] VMEM f32
         band_ref,  # [band, f] VMEM f32 (whole-band input, constant per call)
         acc_in_ref,  # [wr, f] VMEM f32 (aliased with the output)
@@ -296,8 +322,9 @@ def banded_spmm(
     if acc is None:
         acc = jnp.zeros((m.n_wins * m.wr, f), jnp.float32)
     kernel = _spmm_kernel(m.et, m.wr, f, unroll)
-    for band_id, t0, t1 in m.band_tile_ranges:
-        nt = t1 - t0
+    nt = m.nt_per_band
+    for band_id in range(m.n_bands):
+        t0, t1 = band_id * nt, (band_id + 1) * nt
         band_slice = jax.lax.dynamic_slice_in_dim(
             x2d, band_id * m.band, m.band, axis=0
         )
@@ -331,11 +358,9 @@ def banded_spmm(
             ),
             interpret=interpret,
         )(
-            layout.tile_win[t0:t1],
-            layout.tile_first[t0:t1],
-            jax.lax.dynamic_slice_in_dim(
-                layout.src_rel, t0 * m.et, nt * m.et
-            ),
+            layout.tile_win[band_id],
+            layout.tile_first[band_id],
+            layout.src_rel[band_id],
             layout.dst_rel[t0:t1],
             layout.edge_w[t0:t1],
             band_slice,

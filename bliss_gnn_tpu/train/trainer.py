@@ -99,6 +99,9 @@ class TrainConfig:
     exp3_dtype: str = "bfloat16"
     # observability: capture a jax.profiler trace of steps [2, 2+profile_steps)
     profile_steps: int = 0
+    # 'auto' uses the banded Pallas SpMM for SAGE/GCN final eval on TPU when
+    # the graph is large; 'xla' forces the chunked segment-sum path
+    inference_backend: str = "auto"
 
     @property
     def run_name(self) -> str:
@@ -415,10 +418,23 @@ class Trainer:
         heads = tuple(
             [cfg.num_in_heads] * (cfg.num_layers - 1) + [cfg.num_out_heads]
         )
+        spmm = None
+        if (
+            cfg.inference_backend == "pallas"
+            or (
+                cfg.inference_backend == "auto"
+                and cfg.model in ("sage", "gcn")
+                and self.host_graph.n_edges > 2_000_000
+                and jax.default_backend() not in ("cpu",)
+            )
+        ):
+            from bliss_gnn_tpu.models.inference import make_pallas_spmm
+
+            spmm = make_pallas_spmm(self.graph)
         logits = layerwise_inference(
             cfg.model, self.state.params, self.graph, cfg.num_layers,
             heads=heads, negative_slope=cfg.negative_slope,
-            residual=cfg.residual, dtype=self.dtype,
+            residual=cfg.residual, dtype=self.dtype, spmm=spmm,
         )
         labels = self.graph.ndata["labels"]
         out = {}

@@ -70,3 +70,36 @@ def test_layerwise_inference_matches_block_forward(small_synth, name, n_layers):
     lb = np.asarray(logits_block, np.float32)[: g.n_nodes]
     lf = np.asarray(logits_full, np.float32)
     np.testing.assert_allclose(lb, lf, rtol=5e-3, atol=5e-3)
+
+
+def test_layerwise_inference_pallas_backend_interpret(small_synth):
+    """SAGE inference with the banded-Pallas SpMM backend (interpret mode)
+    matches the XLA chunked backend."""
+    import functools
+    from bliss_gnn_tpu.models.inference import make_pallas_spmm
+    from bliss_gnn_tpu.ops import spmm_pallas
+
+    g, nc, _ = small_synth
+    dg = g.to_device()
+    blocks, dg2 = _all_nodes_blocks(g, 2)
+    model = build_model("sage", 12, nc, 2, dropout=0.0, dtype=jnp.float32)
+    x = jnp.take(dg.ndata["features"].astype(jnp.float32),
+                 blocks[0].src_gids, axis=0)
+    params = model.init(jax.random.PRNGKey(1), blocks, x)
+    ref = layerwise_inference("sage", params, dg, 2, dtype=jnp.float32)
+    # interpret-mode pallas closure
+    orig = spmm_pallas.spmm_via_pallas
+    spmm_interp = None
+
+    def patched(feat, dl, n, interpret=True):
+        return orig(feat, dl, n, interpret=True)
+
+    spmm_pallas.spmm_via_pallas = patched
+    try:
+        spmm = make_pallas_spmm(dg, band=256, wr=64, et=256)
+        got = layerwise_inference("sage", params, dg, 2, dtype=jnp.float32,
+                                  spmm=spmm)
+    finally:
+        spmm_pallas.spmm_via_pallas = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)

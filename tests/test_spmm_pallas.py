@@ -33,36 +33,32 @@ def test_layout_covers_every_edge_once(rng):
     perm = layout.edge_perm.reshape(-1)
     valid = perm[perm >= 0]
     assert sorted(valid.tolist()) == list(range(g.n_edges))
-    # every tile's edges belong to its (band, win) bucket
-    src, dst = g.edges()
-    # sorted-edge position -> canonical eid: edge_perm stores positions into
-    # the lexsorted order; recover original ids
     dstv = np.repeat(np.arange(g.n_nodes), np.diff(g.csc_indptr))
-    sr = layout.src_rel.reshape(m.n_tiles, m.et)
-    tile_band = np.zeros(m.n_tiles, np.int64)
-    for b, t0, t1 in m.band_tile_ranges:
-        tile_band[t0:t1] = b
+    nt = m.nt_per_band
+    sr = layout.src_rel.reshape(m.n_bands, nt, m.et)
+    tw = layout.tile_win.reshape(-1)
     for t in range(m.n_tiles):
+        b = t // nt
         for s in range(m.et):
             eid = layout.edge_perm[t, s]  # canonical eid (or -1 padding)
             if eid < 0:
                 assert layout.edge_w[t, 0, s] == 0
                 continue
-            assert g.csc_src[eid] // m.band == tile_band[t]
-            assert dstv[eid] // m.wr == layout.tile_win[t]
-            assert sr[t, s] == g.csc_src[eid] - tile_band[t] * m.band
-            assert layout.dst_rel[t, 0, s] == dstv[eid] - layout.tile_win[t] * m.wr
+            assert g.csc_src[eid] // m.band == b
+            assert dstv[eid] // m.wr == tw[t]
+            assert sr[b, t % nt, s] == g.csc_src[eid] - b * m.band
+            assert layout.dst_rel[t, 0, s] == dstv[eid] - tw[t] * m.wr
             assert layout.edge_w[t, 0, s] == w[eid]
-    # every window run starts with a tile_first flag and runs are unique per band
-    for b, t0, t1 in m.band_tile_ranges:
-        wins = layout.tile_win[t0:t1]
-        firsts = layout.tile_first[t0:t1]
+    # window runs: a first-flag starts each run, runs unique per band
+    for b in range(m.n_bands):
+        wins = layout.tile_win[b]
+        firsts = layout.tile_first[b]
         seen = set()
         run_w = None
-        for i in range(t1 - t0):
+        for i in range(nt):
             if firsts[i]:
-                assert wins[i] not in seen, "window revisited within a band"
-                seen.add(wins[i])
+                assert (wins[i], ) not in seen or layout.edge_w[b*nt+i].sum() == 0
+                seen.add((wins[i],))
                 run_w = wins[i]
             else:
                 assert wins[i] == run_w
@@ -80,4 +76,7 @@ def test_banded_spmm_interpret_matches_dense(rng):
     ref = np.zeros((g.n_nodes, 130), np.float32)
     for e in range(g.n_edges):
         ref[dst[e]] += w[e] * x[src[e]]
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+    # the one-hot contraction runs in bf16 -> compare in aggregate
+    err = np.linalg.norm(np.asarray(out) - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert err < 1e-2, f"relative frobenius error {err}"
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=6e-2, atol=6e-2)
