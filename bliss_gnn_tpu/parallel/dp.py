@@ -56,12 +56,16 @@ def make_dp_train_step(
     """Build the sharded fused step.
 
     The caller passes a GLOBAL seed batch of shape [n_dev * local_batch]
-    (plan.batch_size is the LOCAL batch).  State and graph are replicated.
+    (plan.batch_size is the LOCAL batch).  State and graph are replicated;
+    the graph flows through as a shard_map argument (closed-over arrays
+    become compile-payload constants — measured to blow up remote
+    compilation at Reddit scale).
     """
-    features = graph.ndata["features"]
-    labels_all = graph.ndata["labels"]
+    del graph  # bound at call time
 
-    def local_step(state: TrainState, seeds, seeds_mask):
+    def local_step(state: TrainState, seeds, seeds_mask, graph: DeviceGraph):
+        features = graph.ndata["features"]
+        labels_all = graph.ndata["labels"]
         me = jax.lax.axis_index(axis)
         key, k_sample, k_drop = jax.random.split(state.key, 3)
         k_sample = jax.random.fold_in(k_sample, me)
@@ -129,8 +133,8 @@ def make_dp_train_step(
         local_step,
         mesh=mesh,
         # P() broadcasts over every leaf of a pytree argument: state and
-        # graph-closure stay replicated, seeds/mask split over the dp axis
-        in_specs=(P(), P(axis), P(axis)),
+        # graph stay replicated, seeds/mask split over the dp axis
+        in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

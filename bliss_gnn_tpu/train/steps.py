@@ -87,11 +87,19 @@ def make_train_step(
     multilabel: bool,
     donate: bool = True,
 ) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict]]:
-    """Build the fused jitted train step closed over static config + graph."""
-    features = graph.ndata["features"]
-    labels_all = graph.ndata["labels"]
+    """Build the fused jitted train step.
 
-    def step(state: TrainState, seeds: jax.Array, seeds_mask: jax.Array):
+    The graph is an ARGUMENT of the jitted function, not a closure: closed-
+    over arrays become compile-payload constants (hundreds of MB at Reddit
+    scale — measured to blow up remote compilation).  The returned callable
+    still has the (state, seeds, mask) signature; the graph rides along via
+    a default-bound pytree argument."""
+    del graph  # bound at call time by the wrapper below
+
+    def step(state: TrainState, seeds: jax.Array, seeds_mask: jax.Array,
+             graph: DeviceGraph):
+        features = graph.ndata["features"]
+        labels_all = graph.ndata["labels"]
         key, k_sample, k_drop = jax.random.split(state.key, 3)
         blocks, samp_stats = sample_blocks(
             graph, sampler_cfg, plan, k_sample, seeds, seeds_mask,
@@ -136,9 +144,12 @@ def make_train_step(
         )
         return new_state, metrics
 
-    if donate:
-        return jax.jit(step, donate_argnums=(0,))
-    return jax.jit(step)
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def bound(state, seeds, seeds_mask, graph):
+        return jitted(state, seeds, seeds_mask, graph)
+
+    return bound
 
 
 def make_eval_step(
@@ -150,11 +161,14 @@ def make_eval_step(
 ) -> Callable:
     """Sampled validation step: same sampler consuming the current arm
     weights, NO exp3 update (SURVEY.md §3.5).  Returns (f1_delta, loss,
-    n_valid) so the caller can accumulate epoch metrics."""
-    features = graph.ndata["features"]
-    labels_all = graph.ndata["labels"]
+    n_valid) so the caller can accumulate epoch metrics.  As with the train
+    step, the graph is a jit argument (no giant closure constants)."""
+    del graph
 
-    def step(state: TrainState, key: jax.Array, seeds, seeds_mask):
+    def step(state: TrainState, key: jax.Array, seeds, seeds_mask,
+             graph: DeviceGraph):
+        features = graph.ndata["features"]
+        labels_all = graph.ndata["labels"]
         blocks, _ = sample_blocks(
             graph, sampler_cfg, plan, key, seeds, seeds_mask,
             state.exp3_weights,

@@ -264,7 +264,9 @@ class Trainer:
                         os.path.join(self.run_dir, "profile")
                     )
                 st = time.time()
-                self.state, metrics = self.train_step(self.state, seeds, smask)
+                self.state, metrics = self.train_step(
+                    self.state, seeds, smask, self.graph
+                )
                 metrics = jax.device_get(metrics)
                 fb_time = time.time() - st
                 if (
@@ -326,7 +328,9 @@ class Trainer:
             )
             smask = jnp.asarray(np.arange(self.batch_size) < len(chunk))
             key, sub = jax.random.split(key)
-            df1, dloss, dn = self.eval_step(self.state, sub, seeds, smask)
+            df1, dloss, dn = self.eval_step(
+                self.state, sub, seeds, smask, self.graph
+            )
             f1 = jax.tree.map(lambda a, b: a + b, f1, df1)
             loss_sum += float(dloss)
             n_sum += float(dn)

@@ -52,7 +52,7 @@ def test_dp_step_runs_and_replicates():
     B = plan.batch_size * n_dev
     seeds = jnp.arange(B, dtype=jnp.int32)
     smask = jnp.ones(B, bool)
-    state2, metrics = step(state, seeds, smask)
+    state2, metrics = step(state, seeds, smask, dg)
     assert int(state2.step) == 1
     assert np.isfinite(float(metrics["train_loss"]))
     # exp3 rows stay L1-normalized after the combined update
@@ -73,7 +73,7 @@ def test_dp_training_learns():
     acc_first = acc_last = None
     for it in range(40):
         seeds = jnp.asarray(rng.choice(train_ids, B, replace=False).astype(np.int32))
-        state, metrics = step(state, seeds, jnp.ones(B, bool))
+        state, metrics = step(state, seeds, jnp.ones(B, bool), dg)
         acc = float(f1_compute(metrics["f1"], ml))
         if it == 0:
             acc_first = acc
@@ -89,7 +89,7 @@ def test_dp_matches_single_device_exp3_semantics():
     dp_step = make_dp_train_step(mesh, dg, model, tx, cfg, plan, ml)
     B = plan.batch_size
     seeds = jnp.arange(B, dtype=jnp.int32)
-    s_dp, m_dp = dp_step(state, seeds, jnp.ones(B, bool))
+    s_dp, m_dp = dp_step(state, seeds, jnp.ones(B, bool), dg)
     sums = np.asarray(jnp.sum(s_dp.exp3_weights.astype(jnp.float32), axis=1))
     np.testing.assert_allclose(sums, 1.0, rtol=0.02)
     changed = int(jnp.sum(s_dp.exp3_weights[0] != s_dp.exp3_weights[0][0]))
