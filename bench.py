@@ -69,6 +69,9 @@ _T0 = time.time()
 
 
 def main():
+    from bliss_gnn_tpu.utils.logging import enable_compilation_cache
+
+    enable_compilation_cache()
     indptr, csc_src = build_graph()
     _log("graph ready")
     n_edges = len(csc_src)

@@ -1,0 +1,61 @@
+"""Multi-host initialization and collective-friendly helpers.
+
+Single-controller JAX covers one host's chips; multi-host pods use
+``jax.distributed`` with one process per host (SURVEY.md §5.8).  This
+module wraps the standard recipe:
+
+- ``initialize()`` — jax.distributed.initialize from env/TPU metadata;
+- ``global_mesh()`` — a mesh spanning every process's devices;
+- process-local seed-batch slicing for the DP step (each host feeds its
+  slice of the global batch; shardings handle the rest).
+
+On a single host these degrade to no-ops, so the Trainer can call them
+unconditionally.  Tested logic-level on the CPU mesh; real multi-host
+execution requires a pod slice (not available in this environment).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """jax.distributed.initialize when running multi-process; no-op (False)
+    for single-process runs.  Args default from the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) or TPU
+    pod metadata when present."""
+    num_processes = num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address
+        or os.environ.get("JAX_COORDINATOR_ADDRESS"),
+        num_processes=num_processes,
+        process_id=process_id
+        if process_id is not None
+        else int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
+    return True
+
+
+def global_mesh(axis_names: Sequence[str] = ("dp",)) -> Mesh:
+    """Mesh over ALL devices across processes (jax.devices() is global
+    after jax.distributed.initialize)."""
+    return Mesh(np.array(jax.devices()), axis_names=tuple(axis_names))
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """This process's contiguous slice of a global seed batch."""
+    n = jax.process_count()
+    per = global_batch // n
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

@@ -49,7 +49,11 @@ from bliss_gnn_tpu.train.steps import (
     make_optimizer,
     make_train_step,
 )
-from bliss_gnn_tpu.utils.logging import MetricLogger, next_version_dir
+from bliss_gnn_tpu.utils.logging import (
+    MetricLogger,
+    enable_compilation_cache,
+    next_version_dir,
+)
 
 
 @dataclasses.dataclass
@@ -119,6 +123,7 @@ class Trainer:
                  n_classes: Optional[int] = None,
                  multilabel: Optional[bool] = None):
         self.cfg = cfg
+        enable_compilation_cache()
         if graph is None:
             graph, n_classes, multilabel = load_dataset(cfg.dataset)
             graph = Graph.canonicalize(graph, undirected=cfg.undirected)

@@ -66,3 +66,22 @@ def next_version_dir(base: str) -> str:
     path = os.path.join(base, f"version_{v}")
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Persistent XLA compilation cache — first-compile of the fused sampler
+    step costs minutes on TPU (a dozen large sort lowerings); cached runs
+    start in seconds."""
+    import jax
+
+    path = path or os.environ.get(
+        "BLISS_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
