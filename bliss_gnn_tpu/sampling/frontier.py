@@ -125,14 +125,24 @@ def compact_candidates(
 
 def compact_by_mask(mask: jax.Array, out_cap: int):
     """Stable compaction: indices of True entries packed into ``out_cap``
-    slots (the cumsum/sort equivalent of boolean indexing).
+    slots (boolean indexing with a static output size).
 
-    Returns (idx [out_cap], out_mask [out_cap], n) — idx of padded slots is 0.
-    Overflow (n > out_cap) truncates to the first out_cap True entries.
+    cumsum + scatter, NOT argsort: sort lowerings dominate both compile
+    time (~15-20 s each on TPU through remote compilation) and runtime for
+    multi-million-element frontiers; the prefix-sum ranking is
+    order-preserving and linear.
+
+    Returns (idx [out_cap], out_mask [out_cap], n) — idx of padded slots is
+    0.  Overflow (n > out_cap) truncates to the first out_cap True entries.
     """
     n_in = mask.shape[0]
-    order = jnp.argsort(~mask, stable=True).astype(jnp.int32)
-    idx = order[:out_cap]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1  # rank of each True entry
     n = jnp.sum(mask.astype(jnp.int32))
+    slot = jnp.where(mask & (pos < out_cap), pos, out_cap)
+    idx = (
+        jnp.zeros(out_cap, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(n_in, dtype=jnp.int32), mode="drop")
+    )
     out_mask = jnp.arange(out_cap, dtype=jnp.int32) < n
-    return jnp.where(out_mask, idx, 0), out_mask, n
+    return idx, out_mask, n
