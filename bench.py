@@ -41,15 +41,38 @@ N_EDGES = int(N_EDGES * SCALE)
 
 def build_graph():
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"reddit_synth_{N_NODES}_{N_EDGES}.npz")
+    path = os.path.join(CACHE, f"reddit_synth_v2_{N_NODES}_{N_EDGES}.npz")
     if os.path.exists(path):
         d = np.load(path)
         return d["indptr"], d["src"]
     rng = np.random.default_rng(0)
-    # power-law in-degrees (Reddit's in-degree tail reaches ~21k)
+    # power-law in-degree SEQUENCE with a Reddit-like cap (~21k): an
+    # unbounded zipf draw concentrates half the edges on one node, which no
+    # real graph does and which distorts both SpMM tiling and sampler
+    # frontier statistics
     e_rand = N_EDGES - N_NODES
-    dst = (rng.zipf(1.6, size=e_rand).astype(np.int64) - 1) % N_NODES
-    src = rng.integers(0, N_NODES, size=e_rand)
+    ranks = np.arange(1, N_NODES + 1, dtype=np.float64)
+    wgt = np.minimum(ranks ** -0.8, np.inf)
+    deg = wgt / wgt.sum() * e_rand
+    deg = np.minimum(deg, 21_000).astype(np.int64)
+    deg[deg < 1] = 1
+    # rescale to hit e_rand edges, assign hub degrees to random node ids
+    while deg.sum() < e_rand:
+        deficit = e_rand - deg.sum()
+        bump = np.minimum(deg, np.maximum(deficit // len(deg), 1))
+        deg = np.minimum(deg + bump, 21_000)
+    deg = deg[: N_NODES]
+    extra = deg.sum() - e_rand
+    if extra > 0:  # trim from the tail
+        for i in range(N_NODES - 1, -1, -1):
+            cut = min(extra, deg[i] - 1)
+            deg[i] -= cut
+            extra -= cut
+            if extra == 0:
+                break
+    node_of_rank = rng.permutation(N_NODES)
+    dst = np.repeat(node_of_rank, deg)
+    src = rng.integers(0, N_NODES, size=len(dst))
     loop = np.arange(N_NODES, dtype=np.int64)
     dst = np.concatenate([dst, loop])
     src = np.concatenate([src, loop])

@@ -279,3 +279,30 @@ def test_full_sampler_keeps_everything(small_synth):
     indeg_g = g.in_degrees()
     deg = np.asarray(b.in_degrees())
     np.testing.assert_array_equal(deg[:6], indeg_g[:6])
+
+
+def test_overflow_truncates_gracefully(small_synth):
+    """Tiny capacities: edges beyond the frontier cap are dropped, the
+    overflow is reported, and blocks remain structurally valid."""
+    g, _, _ = small_synth
+    dg = g.to_device()
+    cfg = SamplerConfig(kind="poisson-ladies", fanouts=(16,))
+    plan = CapacityPlan.build(8, (16,), g.n_nodes, g.n_edges,
+                              kind="poisson-ladies", frontier_slack=16.0)
+    # shrink the frontier capacity below the true edge count
+    small = dataclasses_replace(plan, frontier_caps=(16,), cand_caps=(64,),
+                                block_e_caps=(16,))
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    blocks, stats = sample_blocks(dg, cfg, small, jax.random.PRNGKey(0),
+                                  seeds, jnp.ones(8, bool))
+    assert int(stats["layer0/frontier_overflow"]) > 0
+    b = blocks[0]
+    e_mask = np.asarray(b.e_mask)
+    assert e_mask.sum() <= 16
+    e_src = np.asarray(b.e_src)[e_mask]
+    assert np.all(np.asarray(b.src_mask)[e_src])
+
+
+def dataclasses_replace(plan, **kw):
+    import dataclasses
+    return dataclasses.replace(plan, **kw)
