@@ -92,33 +92,44 @@ def compact_candidates(
     seeds_mask: jax.Array,
     frontier: Frontier,
     c_cap: int,
+    n_nodes: int,
 ) -> Candidates:
-    """dgl.compact_graphs(insg, always_preserve=seeds) as sorted-unique.
+    """dgl.compact_graphs(insg, always_preserve=seeds): the unique node set
+    of seeds ∪ frontier srcs, relabeled densely in ascending-gid order.
 
-    Candidate order is ascending global id (a relabeling choice — the
-    reference's compaction order differs, but all downstream math is
-    order-invariant).  The SENTINEL occupies one slot when padding exists.
+    Mark-and-compact instead of sort-based unique: scatter membership bits
+    into an [N] table, prefix-sum-compact it, and relabel through an [N]
+    position LUT.  A multi-million-element frontier then costs one scatter
+    + one O(N) cumsum instead of an O(E log^2 E) TPU bitonic sort (the
+    dominant compile-time AND runtime cost of the previous formulation).
+    Ordering is identical to sorted-unique (ascending gid).
     """
-    vals = jnp.concatenate(
-        [
-            jnp.where(seeds_mask, seeds, SENTINEL),
-            jnp.where(frontier.e_mask, frontier.src_gid, SENTINEL),
-        ]
+    mark = jnp.zeros(n_nodes, bool)
+    mark = mark.at[jnp.where(seeds_mask, seeds, n_nodes)].set(
+        True, mode="drop"
     )
-    gids = jnp.unique(vals, size=c_cap, fill_value=SENTINEL)
-    mask = gids != SENTINEL
-    n = jnp.sum(mask.astype(jnp.int32))
-    src_cpos = jnp.searchsorted(gids, frontier.src_gid).astype(jnp.int32)
-    src_cpos = jnp.where(frontier.e_mask, jnp.clip(src_cpos, 0, c_cap - 1), 0)
-    seed_cpos = jnp.searchsorted(gids, seeds).astype(jnp.int32)
-    seed_cpos = jnp.where(seeds_mask, jnp.clip(seed_cpos, 0, c_cap - 1), 0)
-    # scatter-max so masked seeds (writing False at slot 0) cannot clobber
+    mark = mark.at[
+        jnp.where(frontier.e_mask, frontier.src_gid, n_nodes)
+    ].set(True, mode="drop")
+    idx, out_mask, n = compact_by_mask(mark, c_cap)
+    gids = jnp.where(out_mask, idx, SENTINEL)
+    # gid -> candidate position LUT (n_nodes entries; 0 for non-members,
+    # masked out by the callers' edge/seed masks)
+    pos_of_gid = jnp.zeros(n_nodes, jnp.int32).at[
+        jnp.where(out_mask, idx, n_nodes)
+    ].set(jnp.arange(c_cap, dtype=jnp.int32), mode="drop")
+    src_cpos = jnp.where(
+        frontier.e_mask, jnp.take(pos_of_gid, frontier.src_gid), 0
+    )
+    seed_cpos = jnp.where(
+        seeds_mask, jnp.take(pos_of_gid, jnp.where(seeds_mask, seeds, 0)), 0
+    )
     is_seed = (
         jnp.zeros(c_cap, dtype=bool).at[seed_cpos].max(seeds_mask, mode="drop")
-        & mask
+        & out_mask
     )
     return Candidates(
-        gids=gids, mask=mask, n=n, src_cpos=src_cpos,
+        gids=gids, mask=out_mask, n=n, src_cpos=src_cpos,
         seed_cpos=seed_cpos, is_seed=is_seed,
     )
 

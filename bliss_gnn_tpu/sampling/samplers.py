@@ -362,7 +362,9 @@ def _sample_layer_ladies(
         graph.csc_indptr, graph.csc_src, seeds, seeds_mask,
         plan.frontier_caps[layer],
     )
-    cand = compact_candidates(seeds, seeds_mask, frontier, plan.cand_caps[layer])
+    cand = compact_candidates(
+        seeds, seeds_mask, frontier, plan.cand_caps[layer], graph.n_nodes
+    )
 
     if cfg.is_bandit:
         edge_w = _exp3_edge_prob(
@@ -464,7 +466,7 @@ def _sample_layer_neighbor(
         total_edges=frontier.total_edges,
     )
     cand = compact_candidates(
-        seeds, seeds_mask, kept_frontier, plan.cand_caps[layer]
+        seeds, seeds_mask, kept_frontier, plan.cand_caps[layer], graph.n_nodes
     )
     sel = cand.mask  # every candidate is kept
     ones = jnp.where(cand.mask, 1.0, 0.0)

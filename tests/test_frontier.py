@@ -74,7 +74,7 @@ def test_compact_candidates(rng):
     seeds = jnp.array(seeds_np, dtype=jnp.int32)
     smask = jnp.ones(6, bool)
     fr = gather_in_edges(dg.csc_indptr, dg.csc_src, seeds, smask, 256)
-    cand = compact_candidates(seeds, smask, fr, 128)
+    cand = compact_candidates(seeds, smask, fr, 128, g.n_nodes)
     m = np.asarray(fr.e_mask)
     expected = np.unique(
         np.concatenate([seeds_np, np.asarray(fr.src_gid)[m]])
