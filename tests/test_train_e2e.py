@@ -62,3 +62,23 @@ def test_val_metrics_and_early_stop_target(tmp_path):
     # target 0.3 is easy -> early stop long before 50 epochs
     assert tr._stop
     assert tr.best_val_acc >= 0.3
+
+
+def test_vertex_limit_batch_controller(tmp_path):
+    """BatchSizeCallback parity (train_lightning.py:425-486): with a vertex
+    limit far below the sampled frontier, the controller shrinks the batch
+    (rebuilding the static plan) at epoch end."""
+    tr = _mk(tmp_path, num_epochs=3, vertex_limit=20)
+    bs0 = tr.batch_size
+    tr.fit()
+    assert tr.batch_size < bs0, (bs0, tr.batch_size)
+
+
+def test_profile_trace_capture(tmp_path):
+    """--profile-steps writes a jax.profiler trace directory."""
+    import os
+
+    tr = _mk(tmp_path, num_epochs=1, profile_steps=2)
+    tr.fit()
+    prof = os.path.join(tr.run_dir, "profile")
+    assert os.path.isdir(prof) and len(os.listdir(prof)) > 0
