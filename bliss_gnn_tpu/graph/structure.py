@@ -177,12 +177,21 @@ class Graph:
                 nd[k] = jnp.asarray(v, dtype=feature_dtype)
             else:
                 nd[k] = jnp.asarray(v)
-        ed = {k: jnp.asarray(v) for k, v in self.edata.items()}
+        # edge-indexed arrays carry EDGE_PAD trailing zeros so the sampler's
+        # chunk-granular slice gathers never clamp (sampling/frontier.py)
+        from bliss_gnn_tpu.sampling.frontier import EDGE_PAD
+
+        def _pad_e(a):
+            pad_shape = (EDGE_PAD,) + a.shape[1:]
+            return np.concatenate([a, np.zeros(pad_shape, a.dtype)])
+
+        ed = {k: jnp.asarray(_pad_e(np.asarray(v)))
+              for k, v in self.edata.items()}
         return DeviceGraph(
             n_nodes=self.n_nodes,
             n_edges=self.n_edges,
             csc_indptr=jnp.asarray(self.csc_indptr, dtype=idx_dtype),
-            csc_src=jnp.asarray(self.csc_src, dtype=idx_dtype),
+            csc_src=jnp.asarray(_pad_e(self.csc_src), dtype=idx_dtype),
             csr_indptr=jnp.asarray(self.csr_indptr, dtype=idx_dtype),
             csr_dst=jnp.asarray(self.csr_dst, dtype=idx_dtype),
             csr_eid=jnp.asarray(self.csr_eid, dtype=idx_dtype),

@@ -49,7 +49,8 @@ def make_pallas_spmm(graph: DeviceGraph, band: int = 16384, wr: int = 256,
     import numpy as np
 
     layout = build_banded_layout(
-        np.asarray(graph.csc_indptr), np.asarray(graph.csc_src),
+        np.asarray(graph.csc_indptr),
+        np.asarray(graph.csc_src)[: graph.n_edges],  # trim EDGE_PAD
         None, band=band, wr=wr, et=et,
     )
     dl = DeviceBandedLayout.from_host(layout)

@@ -139,10 +139,14 @@ class CapacityPlan:
         for l in reversed(range(L)):
             dst_caps[l] = cap
             fcap = int(cap * avg_degree * frontier_slack)
-            fcap = min(fcap, n_edges)
+            # when clamped near the full edge count, leave headroom for the
+            # chunked layout's per-seed padding (<= ck-1 <= 127 slots/seed,
+            # bounded by 8*cap under the auto ck rule)
+            fcap = min(fcap, n_edges + 8 * cap)
             if max_frontier_edges is not None:
                 fcap = min(fcap, max_frontier_edges)
-            fcap = max(fcap, cap)  # at least the self-loops
+            # at least 8 slots per seed: one >=8-wide chunk per seed
+            fcap = max(fcap, cap * 8)
             fcap = _round_up(fcap, align)
             frontier_caps[l] = fcap
 

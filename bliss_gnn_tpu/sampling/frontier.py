@@ -20,16 +20,65 @@ import jax
 import jax.numpy as jnp
 
 SENTINEL = jnp.iinfo(jnp.int32).max
+# trailing padding carried by edge-indexed device arrays (see frontier_gather)
+EDGE_PAD = 128
 
 
 class Frontier(NamedTuple):
-    """Padded in-subgraph of a seed set (all in-edges of valid seeds)."""
+    """Padded in-subgraph of a seed set (all in-edges of valid seeds).
+
+    Laid out in CHUNKS of ``ck`` edges: each seed's (contiguous) CSC edge
+    range is cut into ceil(deg/ck) chunks, and every per-edge quantity
+    indexed by canonical eid is fetched with a chunk-granular
+    ``dynamic_slice`` gather (``frontier_gather``) instead of per-element
+    gathers — XLA's scalar gather runs ~40ns/element on TPU, while
+    slice-gathers of contiguous chunks stream near DMA speed.  The padding
+    overhead is <= ck-1 slots per seed.
+    """
 
     eid: jax.Array  # [e_cap] canonical global edge ids
     src_gid: jax.Array  # [e_cap] global src node id per edge
     dst_spos: jax.Array  # [e_cap] dst's position in the seeds array
     e_mask: jax.Array  # [e_cap]
-    total_edges: jax.Array  # scalar — true (pre-truncation) edge count
+    total_edges: jax.Array  # scalar — true (pre-padding/truncation) count
+    chunk_start: jax.Array  # [e_cap//ck] canonical eid of each chunk's head
+    chunk_valid: jax.Array  # [e_cap//ck]
+
+    @property
+    def ck(self) -> int:
+        return self.eid.shape[0] // self.chunk_start.shape[0]
+
+
+def frontier_gather(frontier: Frontier, data: jax.Array) -> jax.Array:
+    """Gather data[eid] for every frontier slot via chunk slice-gathers.
+
+    data: [n_edges_global(+)]; returns [e_cap] in frontier slot order.
+    """
+    ck = frontier.ck
+    if data.shape[0] < ck:  # tiny graphs: pad the source to one chunk
+        data = jnp.concatenate(
+            [data, jnp.zeros(ck - data.shape[0], data.dtype)]
+        )
+    # chunk starts always lie within the logical edge range; edge-indexed
+    # device arrays carry EDGE_PAD trailing slots (DeviceGraph upload /
+    # init_exp3_weights) precisely so these slices never clamp — a clamped
+    # slice would SHIFT the valid elements of a tail chunk.
+    rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(data, (s,), (ck,))
+    )(frontier.chunk_start)
+    return rows.reshape(-1)
+
+
+def frontier_seed_broadcast(frontier: Frontier, vals: jax.Array) -> jax.Array:
+    """Broadcast a per-seed vector to per-frontier-slot (every slot's dst is
+    its chunk's owner seed) at chunk granularity — avoids per-edge scalar
+    gathers for seed-indexed quantities."""
+    ck = frontier.ck
+    owner = frontier.dst_spos.reshape(-1, ck)[:, 0]
+    per_chunk = jnp.take(vals, owner)
+    return jnp.broadcast_to(
+        per_chunk[:, None], (owner.shape[0], ck)
+    ).reshape(-1)
 
 
 def gather_in_edges(
@@ -38,42 +87,74 @@ def gather_in_edges(
     seeds: jax.Array,
     seeds_mask: jax.Array,
     e_cap: int,
+    ck: int | None = None,
 ) -> Frontier:
-    """dgl.in_subgraph as a static-shape flatten of CSC rows.
+    """dgl.in_subgraph as a static-shape, chunk-aligned flatten of CSC rows.
 
-    For each output slot e in [0, e_cap), ownership is found by binary search
-    over the exclusive cumsum of seed in-degrees; slots beyond the true edge
-    count (or seeds beyond capacity) are masked.  Truncation (total > e_cap)
-    drops trailing seeds' edges and is reported via ``total_edges``.
+    Each valid seed s owns ceil(deg(s)/ck) consecutive chunks; chunk
+    ownership is found by binary search over the exclusive cumsum of chunk
+    counts.  Chunks beyond capacity are dropped (truncation reported via
+    ``total_edges`` vs the kept mask count).
+
+    ``ck`` auto-sizes to the capacity-per-seed ratio (a chunk per low-degree
+    seed must not eat the capacity); CapacityPlan guarantees
+    e_cap >= 8 * n_seeds.
     """
     n_seeds = seeds.shape[0]
+    if ck is None:
+        # cap per-seed padding (<= ck-1 slots each) at half the capacity
+        ck = max(8, min(128, e_cap // (2 * max(1, n_seeds))))
+        ck = 1 << (ck.bit_length() - 1)  # floor to a power of two
+    ck = min(ck, max(e_cap, 1))
+    n_chunk_cap = max(1, e_cap // ck)
+    # arrays are sized n_chunk_cap*ck (== e_cap whenever e_cap is a multiple
+    # of ck, which CapacityPlan's 128-alignment guarantees in production)
+    e_cap = n_chunk_cap * ck
     safe_seeds = jnp.where(seeds_mask, seeds, 0)
+    row_start = jnp.take(csc_indptr, safe_seeds).astype(jnp.int32)
     deg = jnp.where(
         seeds_mask,
-        jnp.take(csc_indptr, safe_seeds + 1) - jnp.take(csc_indptr, safe_seeds),
+        (jnp.take(csc_indptr, safe_seeds + 1) - row_start).astype(jnp.int32),
         0,
-    ).astype(jnp.int32)
-    off = jnp.cumsum(deg) - deg  # exclusive cumsum [n_seeds]
-    total = jnp.sum(deg)
-    pos = jnp.arange(e_cap, dtype=jnp.int32)
-    owner = (
-        jnp.searchsorted(off, pos, side="right").astype(jnp.int32) - 1
     )
-    owner = jnp.clip(owner, 0, n_seeds - 1)
-    e_mask = pos < jnp.minimum(total, e_cap)
-    within = pos - jnp.take(off, owner)
-    eid = (
-        jnp.take(csc_indptr, jnp.take(safe_seeds, owner)) + within
-    ).astype(jnp.int32)
-    eid = jnp.where(e_mask, eid, 0)
-    src = jnp.where(e_mask, jnp.take(csc_src, eid).astype(jnp.int32), 0)
-    return Frontier(
+    nchunks = (deg + (ck - 1)) // ck
+    coff = jnp.cumsum(nchunks) - nchunks  # exclusive cumsum [n_seeds]
+    total_chunks = jnp.sum(nchunks)
+    total = jnp.sum(deg)
+
+    cpos = jnp.arange(n_chunk_cap, dtype=jnp.int32)
+    owner = jnp.clip(
+        jnp.searchsorted(coff, cpos, side="right").astype(jnp.int32) - 1,
+        0, n_seeds - 1,
+    )
+    chunk_valid = cpos < jnp.minimum(total_chunks, n_chunk_cap)
+    within_chunkidx = cpos - jnp.take(coff, owner)
+    chunk_start = jnp.take(row_start, owner) + within_chunkidx * ck
+    chunk_start = jnp.where(chunk_valid, chunk_start, 0)
+
+    # per-slot quantities, [n_chunk_cap, ck] -> [e_cap]
+    j = jnp.arange(ck, dtype=jnp.int32)
+    within = within_chunkidx[:, None] * ck + j[None, :]
+    e_mask = (
+        chunk_valid[:, None] & (within < jnp.take(deg, owner)[:, None])
+    ).reshape(-1)
+    eid = jnp.where(
+        e_mask, (chunk_start[:, None] + j[None, :]).reshape(-1), 0
+    )
+    dst_spos = jnp.where(
+        e_mask, jnp.broadcast_to(owner[:, None], (n_chunk_cap, ck)).reshape(-1), 0
+    )
+    frontier = Frontier(
         eid=eid,
-        src_gid=src,
-        dst_spos=jnp.where(e_mask, owner, 0),
+        src_gid=jnp.zeros(e_cap, jnp.int32),  # filled below
+        dst_spos=dst_spos,
         e_mask=e_mask,
         total_edges=total,
+        chunk_start=chunk_start,
+        chunk_valid=chunk_valid,
     )
+    src = frontier_gather(frontier, csc_src).astype(jnp.int32)
+    return frontier._replace(src_gid=jnp.where(e_mask, src, 0))
 
 
 class Candidates(NamedTuple):

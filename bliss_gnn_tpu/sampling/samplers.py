@@ -43,6 +43,8 @@ from bliss_gnn_tpu.sampling.frontier import (
     Frontier,
     compact_by_mask,
     compact_candidates,
+    frontier_gather,
+    frontier_seed_broadcast,
     gather_in_edges,
 )
 
@@ -90,8 +92,15 @@ class SamplerConfig:
 def init_exp3_weights(
     n_layers: int, n_edges: int, dtype=jnp.bfloat16
 ) -> jax.Array:
-    """Lazily-allocated ones in the reference (bandit_sampler.py:342-343)."""
-    return jnp.ones((n_layers, n_edges), dtype=dtype)
+    """Lazily-allocated ones in the reference (bandit_sampler.py:342-343).
+
+    Rows carry EDGE_PAD trailing ZEROS (never touched by updates, invisible
+    to the L1 normalization) so the sampler's chunked slice gathers stay in
+    bounds — see sampling/frontier.py."""
+    from bliss_gnn_tpu.sampling.frontier import EDGE_PAD
+
+    w = jnp.zeros((n_layers, n_edges + EDGE_PAD), dtype=dtype)
+    return w.at[:, :n_edges].set(1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -114,17 +123,20 @@ def _exp3_edge_prob(
     Computed in f32 (the reference runs bf16; f32 is free on the VPU and
     strictly more accurate).
     """
-    ew = jnp.take(exp3_row, frontier.eid).astype(jnp.float32)
+    ew = jnp.where(
+        frontier.e_mask, frontier_gather(frontier, exp3_row), 0
+    ).astype(jnp.float32)
     sum_dst = masked_segment_sum(
         ew, frontier.dst_spos, n_seed_cap, frontier.e_mask
     )
-    denom = jnp.take(sum_dst, frontier.dst_spos)
+    denom = frontier_seed_broadcast(frontier, sum_dst)
     w_hat = jnp.where(denom > 0, ew / jnp.where(denom > 0, denom, 1.0), 0.0)
-    dst_gid = jnp.take(seeds, frontier.dst_spos)
-    n_i = (
-        jnp.take(graph.csc_indptr, dst_gid + 1)
-        - jnp.take(graph.csc_indptr, dst_gid)
+    safe_seeds = jnp.where(seeds >= 0, seeds, 0)
+    n_i_seed = (
+        jnp.take(graph.csc_indptr, safe_seeds + 1)
+        - jnp.take(graph.csc_indptr, safe_seeds)
     ).astype(jnp.float32)
+    n_i = frontier_seed_broadcast(frontier, n_i_seed)
     q = (1.0 - eta) * w_hat + eta / jnp.maximum(n_i, 1.0)
     return jnp.where(frontier.e_mask, q, 0.0)
 
@@ -147,7 +159,7 @@ def _importance_node_prob(
         s_i = masked_segment_sum(
             edge_prob, frontier.dst_spos, n_seed_cap, frontier.e_mask
         )
-        denom = jnp.take(s_i, frontier.dst_spos)
+        denom = frontier_seed_broadcast(frontier, s_i)
         r = jnp.where(denom > 0, edge_prob / jnp.where(denom > 0, denom, 1.0), 0.0)
     else:
         r = edge_prob
@@ -374,7 +386,7 @@ def _sample_layer_ladies(
     else:
         edge_w = jnp.where(
             frontier.e_mask,
-            jnp.take(graph.edata["w"], frontier.eid).astype(jnp.float32),
+            frontier_gather(frontier, graph.edata["w"]).astype(jnp.float32),
             0.0,
         )
         normalize_per_dst = False
@@ -402,9 +414,8 @@ def _sample_layer_ladies(
     )
     stats = {
         "frontier_edges": frontier.total_edges,
-        "frontier_overflow": jnp.maximum(
-            frontier.total_edges - plan.frontier_caps[layer], 0
-        ),
+        "frontier_overflow": frontier.total_edges
+        - jnp.sum(frontier.e_mask.astype(jnp.int32)),
         "n_candidates": cand.n,
         "n_selected": jnp.sum(sel.astype(jnp.int32)),
         **bstats,
@@ -458,12 +469,9 @@ def _sample_layer_neighbor(
     else:
         rank = _segment_rank(frontier.dst_spos, key, frontier.e_mask)
         keep = frontier.e_mask & (rank < cfg.fanouts[layer])
-    kept_frontier = Frontier(
-        eid=frontier.eid,
+    kept_frontier = frontier._replace(
         src_gid=jnp.where(keep, frontier.src_gid, 0),
-        dst_spos=frontier.dst_spos,
         e_mask=keep,
-        total_edges=frontier.total_edges,
     )
     cand = compact_candidates(
         seeds, seeds_mask, kept_frontier, plan.cand_caps[layer], graph.n_nodes
@@ -479,9 +487,8 @@ def _sample_layer_neighbor(
     )
     stats = {
         "frontier_edges": frontier.total_edges,
-        "frontier_overflow": jnp.maximum(
-            frontier.total_edges - plan.frontier_caps[layer], 0
-        ),
+        "frontier_overflow": frontier.total_edges
+        - jnp.sum(frontier.e_mask.astype(jnp.int32)),
         "n_candidates": cand.n,
         "n_selected": cand.n,
         **bstats,

@@ -49,10 +49,11 @@ def test_gather_in_edges_truncation_reported(rng):
     seeds = jnp.arange(20, dtype=jnp.int32)
     smask = jnp.ones(20, bool)
     total = int(g.in_degrees()[:20].sum())
-    cap = max(4, total // 2)
+    cap = max(8, total // 2)
     fr = gather_in_edges(dg.csc_indptr, dg.csc_src, seeds, smask, cap)
     assert int(fr.total_edges) == total
-    assert int(jnp.sum(fr.e_mask)) == cap
+    kept = int(jnp.sum(fr.e_mask))
+    assert 0 < kept < total  # truncated, chunk-granular
 
 
 def test_gather_in_edges_zero_degree_seeds(rng):
