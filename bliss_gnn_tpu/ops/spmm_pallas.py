@@ -41,6 +41,7 @@ v5e, jax 0.9 — see tests/test_spmm_pallas.py and SURVEY.md §7):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -304,11 +305,98 @@ def _spmm_kernel(et: int, wr: int, f: int, unroll: int):
     return kernel
 
 
+def _spmm_kernel_packed(et: int, wr: int, f_half: int, unroll: int):
+    """bf16 pair-packed gather variant: the band arrives as f32 [band,
+    f_half] where each f32 lane packs two adjacent bf16 features (built by
+    ``pack_band_features``), so every gathered row moves HALF the lanes of
+    the f32 kernel — the row-gather loop is the measured bottleneck
+    (~5-7 cycles/row, scaling with lane count; scripts/probe_gather.py).
+
+    Unpack: pltpu.bitcast(f32 [et, f_half] -> bf16 [2et, f_half]) yields
+    row 2k = even features of slot k, row 2k+1 = odd features (probed on
+    v5e, scripts/probe_bitcast.py); reshape to [et, 2*f_half] concatenates
+    the pair, so msgs rows are the FIXED feature permutation [evens|odds].
+    The accumulator lives in that permuted space; callers undo it once at
+    the end (or fold the inverse permutation into the next layer's weight
+    matrix for free).
+    """
+
+    def kernel(
+        tile_win_ref, tile_first_ref, src_rel_ref, dst_rel_ref, w_ref,
+        band_ref,  # [band, f_half] f32 (packed bf16 pairs)
+        acc_in_ref,  # [wr, 2*f_half] f32 (permuted feature space)
+        acc_out_ref,
+        msgs_ref,  # scratch [et, f_half] f32 (packed)
+    ):
+        t = pl.program_id(0)
+
+        def body(i, _):
+            base = i * unroll
+            for j in range(unroll):
+                msgs_ref[pl.ds(base + j, 1), :] = band_ref[
+                    pl.ds(src_rel_ref[base + j], 1), :
+                ]
+            return 0
+
+        jax.lax.fori_loop(0, et // unroll, body, 0)
+        rel = dst_rel_ref[0, 0, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (wr, et), 0)
+        onehot = jnp.where(
+            rows == rel[None, :], w_ref[0, 0, :][None, :], 0.0
+        ).astype(jnp.bfloat16)
+        msgs = pltpu.bitcast(msgs_ref[:], jnp.bfloat16).reshape(
+            et, 2 * f_half
+        )
+        part = jnp.dot(onehot, msgs, preferred_element_type=jnp.float32)
+        first = tile_first_ref[t] == 1
+
+        @pl.when(first)
+        def _():
+            acc_out_ref[:, :] = acc_in_ref[:, :] + part
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            acc_out_ref[:, :] = acc_out_ref[:, :] + part
+
+    return kernel
+
+
+def pack_band_features(x: jax.Array, band: int, n_bands: int) -> jax.Array:
+    """[N, F] -> f32 [n_bands*band, Fp/2] with adjacent bf16 feature pairs
+    packed into one f32 lane (Fp = F rounded up to 256 so the packed lane
+    count stays 128-aligned)."""
+    n, fdim = x.shape
+    f_pad = _round_up(fdim, 256)
+    xb = jnp.zeros((n_bands * band, f_pad), jnp.bfloat16)
+    xb = xb.at[:n, :fdim].set(x.astype(jnp.bfloat16))
+    return jax.lax.bitcast_convert_type(
+        xb.reshape(n_bands * band, f_pad // 2, 2), jnp.float32
+    )
+
+
+def unpermute_features(y: jax.Array, f: int) -> jax.Array:
+    """Undo the packed kernel's [evens|odds] column permutation and strip
+    feature padding: y [N, Fp] (permuted) -> [N, f] canonical order."""
+    fp = y.shape[-1]
+    out = jnp.zeros_like(y)
+    out = out.at[..., 0::2].set(y[..., : fp // 2])
+    out = out.at[..., 1::2].set(y[..., fp // 2 :])
+    return out[..., :f]
+
+
+def permute_weight_rows(w: jax.Array) -> jax.Array:
+    """Permute a [F, ...] weight matrix's rows into the packed kernel's
+    [evens|odds] feature order, so `permuted_acc @ permute_weight_rows(W)`
+    == `acc @ W` — the free way to consume packed-kernel output."""
+    f = w.shape[0]
+    return jnp.concatenate([w[0::2], w[1::2]], axis=0)
+
+
 def banded_spmm(
     x2d: jax.Array,  # [n_bands*band, f] f32 (zero-padded)
     layout: DeviceBandedLayout,
     acc: Optional[jax.Array] = None,  # [n_wins*wr, f] f32
-    unroll: int = 8,
+    unroll: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
     """acc[n_wins*wr, f] f32 += segment-sum of w_e * x[src(e)] by dst.
@@ -321,6 +409,7 @@ def banded_spmm(
     assert f % 128 == 0, f"feature dim {f} must be lane-aligned"
     if acc is None:
         acc = jnp.zeros((m.n_wins * m.wr, f), jnp.float32)
+    unroll = math.gcd(unroll, m.et)
     kernel = _spmm_kernel(m.et, m.wr, f, unroll)
     nt = m.nt_per_band
     for band_id in range(m.n_bands):
@@ -369,6 +458,72 @@ def banded_spmm(
     return acc
 
 
+def banded_spmm_packed(
+    xp: jax.Array,  # [n_bands*band, f_half] f32 (packed, pack_band_features)
+    layout: DeviceBandedLayout,
+    acc: Optional[jax.Array] = None,  # [n_wins*wr, 2*f_half] f32 (permuted)
+    unroll: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed-gather banded SpMM; returns the accumulator in the packed
+    kernel's permuted feature space ([evens|odds] — see
+    ``unpermute_features`` / ``permute_weight_rows``)."""
+    m = layout.meta
+    f_half = xp.shape[-1]
+    assert f_half % 128 == 0, f"packed dim {f_half} must be lane-aligned"
+    if acc is None:
+        acc = jnp.zeros((m.n_wins * m.wr, 2 * f_half), jnp.float32)
+    unroll = math.gcd(unroll, m.et)
+    kernel = _spmm_kernel_packed(m.et, m.wr, f_half, unroll)
+    nt = m.nt_per_band
+    for band_id in range(m.n_bands):
+        t0, t1 = band_id * nt, (band_id + 1) * nt
+        band_slice = jax.lax.dynamic_slice_in_dim(
+            xp, band_id * m.band, m.band, axis=0
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((m.et,), lambda i, tw, tf: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, m.et), lambda i, tw, tf: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, m.et), lambda i, tw, tf: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # whole band
+                pl.BlockSpec((m.wr, 2 * f_half), lambda i, tw, tf: (tw[i], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (m.wr, 2 * f_half), lambda i, tw, tf: (tw[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((m.et, f_half), jnp.float32)],
+        )
+        acc = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (m.n_wins * m.wr, 2 * f_half), jnp.float32
+            ),
+            grid_spec=grid_spec,
+            input_output_aliases={6: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            layout.tile_win[band_id],
+            layout.tile_first[band_id],
+            layout.src_rel[band_id],
+            layout.dst_rel[t0:t1],
+            layout.edge_w[t0:t1],
+            band_slice,
+            acc,
+        )
+    return acc
+
+
 def band_features(x: jax.Array, band: int, n_bands: int,
                   f_pad: Optional[int] = None) -> jax.Array:
     """Pad [N, F] features to the flat [n_bands*band, f_pad] f32 the kernel
@@ -381,11 +536,26 @@ def band_features(x: jax.Array, band: int, n_bands: int,
 
 def spmm_via_pallas(
     x: jax.Array, layout: DeviceBandedLayout, n_nodes: int,
-    interpret: bool = False,
+    interpret: bool = False, packed: Optional[bool] = None,
 ) -> jax.Array:
-    """Convenience wrapper: [N, F] in -> [N, F] f32 out."""
+    """Convenience wrapper: [N, F] in -> [N, F] f32 out.
+
+    packed=None auto-selects the bf16 pair-packed gather kernel when the
+    padded width fits in ONE packed vreg lane group (F <= 256): measured
+    on v5e the (1, 128) row copy hits a fast path (~1.7 cy/row vs ~4.7 at
+    two lane groups), making the packed kernel ~2.6x faster there, while
+    at >=256 packed lanes the unpack relayout cancels the gain
+    (scripts/probe_packed.py).  Precision is identical either way — the
+    f32 kernel also feeds the MXU in bf16.
+    """
     m = layout.meta
     f = x.shape[1]
+    if packed is None:
+        packed = f <= 256
+    if packed:
+        xp = pack_band_features(x, m.band, m.n_bands)
+        out = banded_spmm_packed(xp, layout, interpret=interpret)
+        return unpermute_features(out, f)[:n_nodes]
     xb = band_features(x, m.band, m.n_bands)
     out = banded_spmm(xb, layout, interpret=interpret)
     return out[:n_nodes, :f]

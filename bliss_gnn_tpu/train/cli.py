@@ -13,10 +13,12 @@ Differences from the reference CLI (documented, deliberate):
   --lr-gamma, --lr-step-size (SURVEY.md §5.6);
 - capacity knobs for the static-shape sampler: --frontier-slack,
   --max-frontier-edges;
-- ``--num-workers``/``--use-uva``/``--cache-size``/``--data-cpu`` are
-  accepted and ignored: sampling is a jitted on-device function and the
-  graph is HBM-resident, so the host dataloader machinery has no analog
-  (SURVEY.md §2b DataLoader row).
+- ``--num-workers``/``--data-cpu`` are accepted and ignored: sampling is
+  a jitted on-device function, so the host dataloader machinery has no
+  analog (SURVEY.md §2b DataLoader row);
+- ``--use-uva`` keeps features in host RAM behind an HBM cache sized by
+  ``--cache-size`` (graph/featurecache.py) — the TPU equivalent of the
+  reference's UVA + gpu_cache path, with the same ``cache_miss`` metric.
 """
 from __future__ import annotations
 
@@ -68,8 +70,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--gpu", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=0)
     p.add_argument("--data-cpu", action="store_true")
+    # UVA analog: host-resident features behind an HBM cache with a
+    # cache_miss stat (graph/featurecache.py)
     p.add_argument("--use-uva", action="store_true")
-    p.add_argument("--cache-size", type=int, default=0)
+    p.add_argument("--cache-size", type=int, default=0,
+                   help="HBM feature-cache rows under --use-uva")
     # surfaced constants
     p.add_argument("--ema-w", type=float, default=0.99)
     p.add_argument("--exp3-delta", type=float, default=0.01)
@@ -126,6 +131,8 @@ def config_from_args(args) -> "TrainConfig":
             None if args.max_frontier_edges <= 0 else args.max_frontier_edges
         ),
         profile_steps=args.profile_steps,
+        use_uva=args.use_uva,
+        cache_size=args.cache_size,
         compute_dtype="float32" if args.precision == "highest" else "bfloat16",
     )
 

@@ -185,6 +185,87 @@ def make_eval_step(
     return jax.jit(step)
 
 
+def make_uva_steps(
+    model,
+    tx: optax.GradientTransformation,
+    sampler_cfg: SamplerConfig,
+    plan: CapacityPlan,
+    multilabel: bool,
+):
+    """Split steps for host-resident features (the UVA/gpu_cache analog,
+    train_lightning.py:376-380,:394 — see graph/featurecache.py).
+
+    The fused step assumes features live in HBM; at papers100M scale they
+    don't fit, so the step splits at the one unavoidable host boundary:
+
+        sample_fn (jit)  ->  FeatureCache.gather (host fetch of misses)
+        ->  train_fn / eval_fn (jit, takes the gathered [B, F] block)
+
+    Returns (sample_fn, train_fn, eval_fn).  Sampling still runs fully
+    on device; only the feature rows cross the host boundary.
+    """
+
+    def sample_fn(state: TrainState, seeds, seeds_mask, graph: DeviceGraph):
+        key, k_sample, k_drop = jax.random.split(state.key, 3)
+        blocks, samp_stats = sample_blocks(
+            graph, sampler_cfg, plan, k_sample, seeds, seeds_mask,
+            state.exp3_weights,
+        )
+        return blocks, samp_stats, k_drop, key
+
+    def train_fn(state: TrainState, blocks, x, k_drop, key,
+                 graph: DeviceGraph):
+        labels = jnp.take(graph.ndata["labels"], blocks[-1].dst_gids, axis=0)
+        dst_mask = blocks[-1].dst_mask
+
+        def loss_fn(params):
+            logits, aux = model.apply(
+                params, blocks, x, deterministic=False,
+                rngs={"dropout": k_drop},
+            )
+            loss = cross_entropy_loss(logits, labels, dst_mask, multilabel)
+            return loss, (logits, aux)
+
+        (loss, (logits, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if sampler_cfg.is_bandit:
+            exp3 = exp3_update(
+                graph, sampler_cfg, state.exp3_weights, blocks,
+                aux["embed_norms"], aux["a_ijs"],
+            )
+        else:
+            exp3 = state.exp3_weights
+        f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)
+        metrics = {
+            "train_loss": loss,
+            "f1": f1,
+            **_block_count_metrics(blocks),
+        }
+        new_state = TrainState(
+            params=params, opt_state=opt_state, exp3_weights=exp3,
+            key=key, step=state.step + 1,
+        )
+        return new_state, metrics
+
+    def eval_fn(state: TrainState, blocks, x, graph: DeviceGraph):
+        labels = jnp.take(graph.ndata["labels"], blocks[-1].dst_gids, axis=0)
+        dst_mask = blocks[-1].dst_mask
+        logits, _ = model.apply(state.params, blocks, x, deterministic=True)
+        loss = cross_entropy_loss(logits, labels, dst_mask, multilabel)
+        f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)
+        n = jnp.sum(dst_mask)
+        return f1, loss * n, n
+
+    return (
+        jax.jit(sample_fn),
+        jax.jit(train_fn, donate_argnums=(0,)),
+        jax.jit(eval_fn),
+    )
+
+
 def make_optimizer(
     lr: float, steps_per_epoch: int, gamma: float = 0.01, step_size: int = 5
 ) -> optax.GradientTransformation:

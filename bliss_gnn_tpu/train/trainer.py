@@ -103,6 +103,10 @@ class TrainConfig:
     exp3_dtype: str = "bfloat16"
     # observability: capture a jax.profiler trace of steps [2, 2+profile_steps)
     profile_steps: int = 0
+    # UVA analog: keep features in host RAM behind an HBM cache
+    # (graph/featurecache.py; train_lightning.py:376-380,:394)
+    use_uva: bool = False
+    cache_size: int = 0  # cached rows; 0 -> min(n_nodes, 2**21)
     # 'auto' uses the banded Pallas SpMM for SAGE/GCN final eval on TPU when
     # the graph is large; 'xla' forces the chunked segment-sum path
     inference_backend: str = "auto"
@@ -135,7 +139,22 @@ class Trainer:
         pdtype = jnp.float32 if cfg.param_dtype == "float32" else jnp.bfloat16
         self.dtype, self.pdtype = dtype, pdtype
 
-        self.graph: DeviceGraph = graph.to_device(feature_dtype=dtype)
+        self.feature_cache = None
+        if cfg.use_uva:
+            # features stay host-resident; the device sees everything else
+            from bliss_gnn_tpu.graph.featurecache import FeatureCache
+
+            host_feat = np.asarray(graph.ndata["features"])
+            ndata_rest = {
+                k: v for k, v in graph.ndata.items() if k != "features"
+            }
+            ndata_all, graph.ndata = graph.ndata, ndata_rest
+            self.graph = graph.to_device(feature_dtype=dtype)
+            graph.ndata = ndata_all
+            cap = cfg.cache_size or min(graph.n_nodes, 1 << 21)
+            self.feature_cache = FeatureCache(host_feat, cap, dtype=dtype)
+        else:
+            self.graph: DeviceGraph = graph.to_device(feature_dtype=dtype)
         self.train_nid = np.where(graph.ndata["train_mask"])[0].astype(np.int32)
         self.val_nid = np.where(graph.ndata["val_mask"])[0].astype(np.int32)
         self.test_nid = np.where(graph.ndata["test_mask"])[0].astype(np.int32)
@@ -211,14 +230,52 @@ class Trainer:
                 key=key,
                 step=jnp.zeros((), jnp.int32),
             )
-        self.train_step = make_train_step(
-            self.graph, self.model, self.tx, self.sampler_cfg, self.plan,
-            self.multilabel,
+        if self.feature_cache is not None:
+            from bliss_gnn_tpu.train.steps import make_uva_steps
+
+            self._sample_fn, self._uva_train_fn, self._uva_eval_fn = (
+                make_uva_steps(
+                    self.model, self.tx, self.sampler_cfg, self.plan,
+                    self.multilabel,
+                )
+            )
+            self.train_step = self._uva_train_step
+            self.eval_step = self._uva_eval_step
+        else:
+            self.train_step = make_train_step(
+                self.graph, self.model, self.tx, self.sampler_cfg, self.plan,
+                self.multilabel,
+            )
+            self.eval_step = make_eval_step(
+                self.graph, self.model, self.sampler_cfg, self.plan,
+                self.multilabel,
+            )
+
+    # -- UVA (host-feature) step wrappers --------------------------------
+    def _uva_train_step(self, state, seeds, smask, graph):
+        blocks, samp_stats, k_drop, key = self._sample_fn(
+            state, seeds, smask, graph
         )
-        self.eval_step = make_eval_step(
-            self.graph, self.model, self.sampler_cfg, self.plan,
-            self.multilabel,
+        x, miss = self.feature_cache.gather(
+            blocks[0].src_gids, blocks[0].src_mask
         )
+        state, metrics = self._uva_train_fn(
+            state, blocks, x, k_drop, key, graph
+        )
+        metrics = dict(metrics)
+        metrics["cache_miss"] = miss  # train_lightning.py:454-461
+        for k, v in samp_stats.items():
+            if "overflow" in k:
+                metrics[k] = v
+        return state, metrics
+
+    def _uva_eval_step(self, state, key, seeds, smask, graph):
+        state_k = dataclasses.replace(state, key=key)
+        blocks, _, _, _ = self._sample_fn(state_k, seeds, smask, graph)
+        x, _ = self.feature_cache.gather(
+            blocks[0].src_gids, blocks[0].src_mask
+        )
+        return self._uva_eval_fn(state, blocks, x, graph)
 
     def _init_params(self, key):
         # init by tracing one sampled batch shape
@@ -237,10 +294,13 @@ class Trainer:
         blocks_z = jax.tree.map(
             lambda s: jnp.zeros(s.shape, s.dtype), blocks,
         )
+        feat_dim = (
+            self.feature_cache.host.shape[1]
+            if self.feature_cache is not None
+            else self.graph.ndata["features"].shape[1]
+        )
         x = jnp.zeros(
-            (blocks_z[0].src_gids.shape[0],
-             self.graph.ndata["features"].shape[1]),
-            self.dtype,
+            (blocks_z[0].src_gids.shape[0], feat_dim), self.dtype,
         )
         return self.model.init(key, blocks_z, x)
 
@@ -316,6 +376,8 @@ class Trainer:
         for k, v in metrics.items():
             if "overflow" in k and float(v) > 0:
                 scalars[k] = float(v)
+        if "cache_miss" in metrics:
+            scalars["cache_miss"] = float(metrics["cache_miss"])
         self.logger.log(self.global_step, scalars)
 
     def _validate(self, epoch: int) -> float:
@@ -440,8 +502,22 @@ class Trainer:
             from bliss_gnn_tpu.models.inference import make_pallas_spmm
 
             spmm = make_pallas_spmm(self.graph)
+        graph = self.graph
+        if self.feature_cache is not None:
+            # full-graph inference needs the whole feature matrix; upload it
+            # for the eval (callers at true out-of-HBM scale should eval on
+            # a CPU mesh or shard the inference — see parallel/edgeshard.py)
+            graph = dataclasses.replace(
+                graph,
+                ndata={
+                    **graph.ndata,
+                    "features": jnp.asarray(
+                        self.feature_cache.host, self.dtype
+                    ),
+                },
+            )
         logits = layerwise_inference(
-            cfg.model, self.state.params, self.graph, cfg.num_layers,
+            cfg.model, self.state.params, graph, cfg.num_layers,
             heads=heads, negative_slope=cfg.negative_slope,
             residual=cfg.residual, dtype=self.dtype, spmm=spmm,
         )

@@ -1,0 +1,64 @@
+"""FeatureCache (the UVA/gpu_cache analog) + UVA trainer path.
+
+Reference behavior being reproduced: features live off-device and are
+served through a device cache with a per-batch __cache_miss__ statistic
+(train_lightning.py:376-380,:394,:451-461).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bliss_gnn_tpu.graph.featurecache import FeatureCache
+
+
+def test_gather_correct_and_miss_rates(rng):
+    n, f = 1000, 16
+    host = rng.normal(size=(n, f)).astype(np.float32)
+    cache = FeatureCache(host, capacity=256, dtype=jnp.float32)
+
+    gids = rng.integers(0, n, size=64).astype(np.int32)
+    mask = np.ones(64, bool)
+    mask[50:] = False
+    out, miss = cache.gather(jnp.asarray(gids), jnp.asarray(mask))
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[:50], host[gids[:50]], rtol=1e-6)
+    assert (out[50:] == 0).all()  # masked slots are zeros
+    assert miss == 1.0  # cold cache
+
+    # repeat the same batch: every row now hits (unless slots collided)
+    out2, miss2 = cache.gather(jnp.asarray(gids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out2)[:50], host[gids[:50]],
+                               rtol=1e-6)
+    # direct-mapped: collisions possible but the repeat rate must be low
+    assert miss2 < 0.5
+    assert 0.0 <= cache.miss_rate <= 1.0
+
+
+def test_hit_after_warm_distinct_slots(rng):
+    n, f = 512, 8
+    host = rng.normal(size=(n, f)).astype(np.float32)
+    cache = FeatureCache(host, capacity=n, dtype=jnp.float32)  # no collisions
+    cache.warm(np.arange(n))
+    gids = rng.integers(0, n, size=128).astype(np.int32)
+    out, miss = cache.gather(jnp.asarray(gids), jnp.ones(128, bool))
+    assert miss == 0.0
+    np.testing.assert_allclose(np.asarray(out), host[gids], rtol=1e-6)
+
+
+def test_uva_trainer_matches_hbm_trainer():
+    """One epoch of the toy config under --use-uva produces finite loss and
+    logs cache_miss; final eval works via the feature upload fallback."""
+    from bliss_gnn_tpu.train.trainer import TrainConfig, Trainer
+
+    base = dict(
+        dataset="toy", model="sage", sampler="poisson-bandit",
+        fan_out=(4, 4), num_layers=2, batch_size=4, num_steps=3,
+        num_hidden=8, disable_checkpoint=True, logdir="/tmp/bliss_uva_test",
+    )
+    cfg = TrainConfig(**base, use_uva=True, cache_size=4)
+    t = Trainer(cfg)
+    t.fit()
+    assert t.feature_cache is not None
+    assert t.feature_cache._lookups > 0
+    out = t.final_eval()
+    assert np.isfinite(out["Train"])

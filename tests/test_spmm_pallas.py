@@ -64,6 +64,45 @@ def test_layout_covers_every_edge_once(rng):
                 assert wins[i] == run_w
 
 
+def test_packed_kernel_matches_f32_kernel(rng):
+    """bf16 pair-packed gather variant: identical results to the f32
+    kernel (both feed the MXU in bf16), via bitcast unpack + the
+    [evens|odds] feature permutation."""
+    g = _rand_graph(rng, n=500, e=4000)
+    w = rng.random(g.n_edges).astype(np.float32)
+    layout = build_banded_layout(g.csc_indptr, g.csc_src, w,
+                                 band=256, wr=64, et=256)
+    dl = DeviceBandedLayout.from_host(layout)
+    x = jnp.asarray(rng.normal(size=(g.n_nodes, 130)).astype(np.float32))
+    out_f32 = spmm_via_pallas(x, dl, g.n_nodes, interpret=True, packed=False)
+    out_pk = spmm_via_pallas(x, dl, g.n_nodes, interpret=True, packed=True)
+    np.testing.assert_allclose(
+        np.asarray(out_pk), np.asarray(out_f32), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_permute_weight_rows_consumes_packed_output(rng):
+    """permuted_acc @ permute_weight_rows(W) == acc @ W (padded cols carry
+    zeros so the padded rows of W never contribute)."""
+    from bliss_gnn_tpu.ops.spmm_pallas import (
+        permute_weight_rows,
+        unpermute_features,
+    )
+
+    f, k = 130, 16
+    fp = 256  # padded width the packed kernel produces
+    y_perm = rng.normal(size=(8, fp)).astype(np.float32)
+    # zero the padding slots ([evens|odds] of features >= f)
+    col_feat = np.concatenate([np.arange(0, fp, 2), np.arange(1, fp, 2)])
+    y_perm[:, col_feat >= f] = 0.0
+    acc = np.asarray(unpermute_features(jnp.asarray(y_perm), f))
+    w_full = rng.normal(size=(fp, k)).astype(np.float32)
+    w_perm = np.asarray(permute_weight_rows(jnp.asarray(w_full)))
+    np.testing.assert_allclose(
+        y_perm @ w_perm, acc @ w_full[:f], rtol=1e-4, atol=1e-4
+    )
+
+
 def test_banded_spmm_interpret_matches_dense(rng):
     g = _rand_graph(rng, n=500, e=4000)
     w = rng.random(g.n_edges).astype(np.float32)
