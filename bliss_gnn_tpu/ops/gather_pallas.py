@@ -1,0 +1,99 @@
+"""Pallas LUT gather: out[i] = lut[idx[i]] for arbitrary per-edge indices.
+
+The sampler's per-edge "SDDMM u->e" ops — keep-mask lookup sel[src_gid[e]],
+candidate relabeling pos_of_gid[src_gid[e]] — lower to XLA scalar gathers
+at ~40 ns/element on TPU (measured; it is the dominant cost of the fused
+sampling step at multi-million-edge frontier capacities).  This kernel
+keeps the whole LUT resident in VMEM as a [ceil(N/128), 128] grid and, per
+edge, copies the 128-lane row containing the target (the (1, 128) dynamic
+row slice hits Mosaic's fast path, ~1.7 cycles — see
+scripts/probe_gather.py) then selects the lane with a vectorized one-hot
+reduce: ~2 cycles/edge, ~20x the XLA path.
+
+Constraints (same probing as ops/spmm_pallas.py):
+- indices must be read from SMEM for the row computation AND be available
+  as a VMEM vector for the lane select -> idx is passed twice;
+- SMEM int32 blocks need >=1024-element tiles -> edge tile et=2048;
+- LUT must fit in VMEM: N <= ~24M f32 entries (96 MB).  Callers fall back
+  to jnp.take above that (ops/segment.py routes automatically).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for the resident LUT (v5e has ~128 MB/core; leave room for
+# the edge tiles and scratch)
+MAX_LUT_ELEMS = 24 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _lut_gather_kernel(et: int, unroll: int):
+    def kernel(idx_smem, idx_col, lut_ref, out_ref, msgs_ref):
+        def body(i, _):
+            base = i * unroll
+            for j in range(unroll):
+                msgs_ref[pl.ds(base + j, 1), :] = lut_ref[
+                    pl.ds(idx_smem[base + j] >> 7, 1), :
+                ]
+            return 0
+
+        jax.lax.fori_loop(0, et // unroll, body, 0)
+        rel = idx_col[:, 0] & 127  # [et] sublane-major
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (et, 128), 1)
+        onehot = (lanes == rel[:, None]).astype(jnp.float32)
+        out_ref[:, :] = jnp.sum(
+            msgs_ref[:] * onehot, axis=1, keepdims=True
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret", "et", "unroll"))
+def lut_gather(
+    lut: jax.Array,  # [N] f32 (or castable) lookup table
+    idx: jax.Array,  # [M] int32 indices into [0, N)
+    interpret: bool = False,
+    et: int = 2048,
+    unroll: int = 32,
+) -> jax.Array:
+    """out[i] = lut[idx[i]], f32.  M is padded to a tile multiple
+    internally; indices must be in-range (mask upstream)."""
+    n = lut.shape[0]
+    m = idx.shape[0]
+    assert n <= MAX_LUT_ELEMS, f"LUT of {n} too large for VMEM residency"
+    lut2d = jnp.zeros((_round_up(n, 128) // 128, 128), jnp.float32)
+    lut2d = lut2d.reshape(-1).at[:n].set(lut.astype(jnp.float32))
+    lut2d = lut2d.reshape(-1, 128)
+    mp = _round_up(m, et)
+    idx_p = jnp.zeros(mp, jnp.int32).at[:m].set(idx.astype(jnp.int32))
+    n_tiles = mp // et
+    unroll = math.gcd(unroll, et)
+    kernel = _lut_gather_kernel(et, unroll)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((et,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((et, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole LUT
+        ],
+        out_specs=pl.BlockSpec((et, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((et, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(idx_p, idx_p[:, None], lut2d)
+    return out[:m, 0]

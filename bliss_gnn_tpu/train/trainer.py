@@ -201,11 +201,13 @@ class Trainer:
         cfg = self.cfg
         g = self.host_graph
         self.batch_size = batch_size
+        indeg = g.in_degrees()
         self.plan = CapacityPlan.build(
             batch_size, self.sampler_cfg.fanouts, g.n_nodes, g.n_edges,
             kind=cfg.sampler, frontier_slack=cfg.frontier_slack,
             block_edge_slack=cfg.block_edge_slack,
             max_frontier_edges=cfg.max_frontier_edges,
+            deg_std=float(indeg.std()), max_degree=int(indeg.max()),
         )
         self.tx = make_optimizer(
             cfg.lr, self.steps_per_epoch, cfg.lr_gamma, cfg.lr_step_size

@@ -1,0 +1,135 @@
+"""Time the fused train step at the Reddit config on the real TPU, with
+stage attribution (sample-only vs full step).
+
+PYTHONPATH=.:/root/.axon_site python scripts/profile_step.py
+Env: BLISS_PROF_SCALE (default 1.0), BLISS_PROF_TRACE=1 for a profiler trace.
+"""
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bliss_gnn_tpu.utils.logging import enable_compilation_cache
+
+enable_compilation_cache()
+
+SCALE = float(os.environ.get("BLISS_PROF_SCALE", "1.0"))
+N_NODES = int(232_965 * SCALE)
+N_FEATS = 602
+N_CLASSES = 41
+
+
+def log(m):
+    print(f"[prof +{time.time()-T0:.0f}s] {m}", flush=True)
+
+
+T0 = time.time()
+
+# reuse the bench graph cache (already dst-sorted CSC)
+import bench  # noqa: E402  (repo-root module)
+
+bench.N_NODES = N_NODES
+bench.N_EDGES = int((114_615_892 + 232_965) * SCALE)
+indptr, csc_src = bench.build_graph()
+n_edges = len(csc_src)
+log(f"graph ready: {N_NODES} nodes, {n_edges} edges")
+
+from bliss_gnn_tpu.graph.structure import DeviceGraph  # noqa: E402
+from bliss_gnn_tpu.sampling.frontier import EDGE_PAD  # noqa: E402
+from bliss_gnn_tpu.sampling.block import CapacityPlan  # noqa: E402
+from bliss_gnn_tpu.sampling.samplers import (  # noqa: E402
+    SamplerConfig,
+    init_exp3_weights,
+    sample_blocks,
+)
+from bliss_gnn_tpu.models.gnn import build_model  # noqa: E402
+from bliss_gnn_tpu.train.steps import (  # noqa: E402
+    TrainState,
+    make_optimizer,
+    make_train_step,
+)
+
+# normalized 1/in_deg edge weights (host, vectorized)
+deg = np.diff(indptr)
+w = (1.0 / np.maximum(deg, 1.0)).repeat(deg).astype(np.float32)
+
+
+def pad_e(a):
+    return np.concatenate([a, np.zeros(EDGE_PAD, a.dtype)])
+
+
+dummy = jnp.zeros(1, jnp.int32)
+key = jax.random.PRNGKey(0)
+graph = DeviceGraph(
+    n_nodes=N_NODES,
+    n_edges=n_edges,
+    csc_indptr=jnp.asarray(indptr, jnp.int32),
+    csc_src=jnp.asarray(pad_e(csc_src.astype(np.int32))),
+    csr_indptr=dummy, csr_dst=dummy, csr_eid=dummy,
+    ndata=dict(
+        features=jax.random.normal(key, (N_NODES, N_FEATS), jnp.bfloat16),
+        labels=jax.random.randint(key, (N_NODES,), 0, N_CLASSES),
+    ),
+    edata=dict(w=jnp.asarray(pad_e(w), jnp.bfloat16)),
+)
+jax.block_until_ready(graph.csc_src)
+log("graph on device")
+
+cfg = SamplerConfig(kind="poisson-bandit", fanouts=(4096, 2048, 1024))
+plan = CapacityPlan.build(256, cfg.fanouts, N_NODES, n_edges,
+                          kind=cfg.kind, deg_std=float(deg.std()),
+                          max_degree=int(deg.max()))
+log(f"plan: frontier={plan.frontier_caps} block_e={plan.block_e_caps} "
+    f"cand={plan.cand_caps}")
+model = build_model("sage", 256, N_CLASSES, 3)
+exp3 = init_exp3_weights(3, n_edges)
+
+seeds = jnp.asarray(
+    np.random.default_rng(0).integers(0, N_NODES, 256), jnp.int32
+)
+smask = jnp.ones(256, bool)
+
+# --- sample-only timing ---
+samp = jax.jit(lambda k, s, m, g, e: jax.tree.map(
+    lambda x: x, sample_blocks(g, cfg, plan, k, s, m, e)))
+out = samp(jax.random.PRNGKey(1), seeds, smask, graph, exp3)
+jax.block_until_ready(out)
+log("sample compiled")
+ts = []
+for i in range(3):
+    t0 = time.perf_counter()
+    out = samp(jax.random.PRNGKey(i), seeds, smask, graph, exp3)
+    float(out[0][0].e_weight[0])
+    ts.append(time.perf_counter() - t0 - 0.033)
+log(f"sample_blocks: {min(ts)*1e3:.0f} ms")
+
+# --- full step timing ---
+blocks, _ = out
+x = jnp.take(graph.ndata["features"], blocks[0].src_gids, axis=0)
+params = model.init(jax.random.PRNGKey(2), blocks, x)
+tx = make_optimizer(2e-3, 100)
+state = TrainState(params=params, opt_state=tx.init(params),
+                   exp3_weights=exp3, key=jax.random.PRNGKey(3),
+                   step=jnp.zeros((), jnp.int32))
+step = make_train_step(graph, model, tx, cfg, plan, False)
+state, metrics = step(state, seeds, smask, graph)
+float(metrics["train_loss"])
+log("step compiled")
+if os.environ.get("BLISS_PROF_TRACE"):
+    jax.profiler.start_trace("/tmp/bliss_prof")
+ts = []
+for i in range(3):
+    t0 = time.perf_counter()
+    state, metrics = step(state, seeds, smask, graph)
+    float(metrics["train_loss"])
+    ts.append(time.perf_counter() - t0 - 0.033)
+if os.environ.get("BLISS_PROF_TRACE"):
+    jax.profiler.stop_trace()
+    log("trace in /tmp/bliss_prof")
+ovf = {k: int(v) for k, v in metrics.items() if "overflow" in k}
+log(f"full train step: {min(ts)*1e3:.0f} ms "
+    f"(loss {float(metrics['train_loss']):.3f}, "
+    f"edges l0 {int(metrics['num_edges/0'])}, overflow {ovf})")
