@@ -36,6 +36,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def maybe_lut_gather(lut: jax.Array, idx: jax.Array) -> jax.Array:
+    """lut_gather on TPU when the LUT fits VMEM and values survive the f32
+    round-trip (integer LUTs must stay < 2^24); jnp.take otherwise.  Output
+    dtype follows the LUT."""
+    use = (
+        jax.default_backend() == "tpu"
+        and lut.shape[0] <= MAX_LUT_ELEMS
+        and idx.shape[0] >= 1 << 16  # kernel overhead beats take only at size
+        and (
+            jnp.issubdtype(lut.dtype, jnp.floating)
+            or lut.shape[0] < (1 << 24)
+        )
+    )
+    if not use:
+        return jnp.take(lut, idx)
+    out = lut_gather(lut, idx)
+    if jnp.issubdtype(lut.dtype, jnp.integer):
+        return jnp.round(out).astype(lut.dtype)
+    if lut.dtype == jnp.bool_:
+        return out > 0.5
+    return out.astype(lut.dtype)
+
+
 def _lut_gather_kernel(et: int, unroll: int):
     def kernel(idx_smem, idx_col, lut_ref, out_ref, msgs_ref):
         def body(i, _):

@@ -27,13 +27,16 @@ EDGE_PAD = 128
 class Frontier(NamedTuple):
     """Padded in-subgraph of a seed set (all in-edges of valid seeds).
 
-    Laid out in CHUNKS of ``ck`` edges: each seed's (contiguous) CSC edge
-    range is cut into ceil(deg/ck) chunks, and every per-edge quantity
-    indexed by canonical eid is fetched with a chunk-granular
-    ``dynamic_slice`` gather (``frontier_gather``) instead of per-element
-    gathers — XLA's scalar gather runs ~40ns/element on TPU, while
-    slice-gathers of contiguous chunks stream near DMA speed.  The padding
-    overhead is <= ck-1 slots per seed.
+    Laid out in GRID-ALIGNED CHUNKS of ``ck`` edges: the canonical edge
+    range is conceptually tiled into [E/ck, ck] rows, and each seed owns
+    the consecutive run of grid rows its CSC range touches (slots outside
+    the range are masked; a grid row shared by two seeds appears once per
+    seed with complementary masks).  Alignment is what makes
+    ``frontier_gather`` a plain 2-D ROW take — XLA's fast row-gather path,
+    ~70 GB/s — where per-edge scalar gathers run ~10 ns/element and
+    unaligned dynamic-slice chunk gathers lower to a sequential
+    ``while`` loop (~1.2 us/chunk, the dominant sampler cost when
+    profiled).  The padding overhead is < 2*ck slots per seed.
     """
 
     eid: jax.Array  # [e_cap] canonical global edge ids
@@ -41,31 +44,33 @@ class Frontier(NamedTuple):
     dst_spos: jax.Array  # [e_cap] dst's position in the seeds array
     e_mask: jax.Array  # [e_cap]
     total_edges: jax.Array  # scalar — true (pre-padding/truncation) count
-    chunk_start: jax.Array  # [e_cap//ck] canonical eid of each chunk's head
+    chunk_gidx: jax.Array  # [e_cap//ck] grid-row index of each chunk
+    chunk_owner: jax.Array  # [e_cap//ck] owner seed position of each chunk
     chunk_valid: jax.Array  # [e_cap//ck]
 
     @property
     def ck(self) -> int:
-        return self.eid.shape[0] // self.chunk_start.shape[0]
+        return self.eid.shape[0] // self.chunk_gidx.shape[0]
 
 
 def frontier_gather(frontier: Frontier, data: jax.Array) -> jax.Array:
-    """Gather data[eid] for every frontier slot via chunk slice-gathers.
+    """Gather data[eid] for every frontier slot, as a row gather of the
+    grid-aligned chunks: data viewed as [E/ck, ck], one take per chunk.
 
-    data: [n_edges_global(+)]; returns [e_cap] in frontier slot order.
+    data: [n_edges_global(+EDGE_PAD)]; returns [e_cap] in frontier slot
+    order.  Edge-indexed device arrays carry EDGE_PAD >= ck trailing zeros
+    (DeviceGraph upload / init_exp3_weights) so the grid view always covers
+    the last partial row.
     """
     ck = frontier.ck
-    if data.shape[0] < ck:  # tiny graphs: pad the source to one chunk
+    n_rows = frontier.chunk_gidx.shape[0]
+    need = ck  # minimum one full row
+    if data.shape[0] < need:
         data = jnp.concatenate(
-            [data, jnp.zeros(ck - data.shape[0], data.dtype)]
+            [data, jnp.zeros(need - data.shape[0], data.dtype)]
         )
-    # chunk starts always lie within the logical edge range; edge-indexed
-    # device arrays carry EDGE_PAD trailing slots (DeviceGraph upload /
-    # init_exp3_weights) precisely so these slices never clamp — a clamped
-    # slice would SHIFT the valid elements of a tail chunk.
-    rows = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(data, (s,), (ck,))
-    )(frontier.chunk_start)
+    grid = data[: (data.shape[0] // ck) * ck].reshape(-1, ck)
+    rows = jnp.take(grid, frontier.chunk_gidx, axis=0)
     return rows.reshape(-1)
 
 
@@ -74,11 +79,29 @@ def frontier_seed_broadcast(frontier: Frontier, vals: jax.Array) -> jax.Array:
     its chunk's owner seed) at chunk granularity — avoids per-edge scalar
     gathers for seed-indexed quantities."""
     ck = frontier.ck
-    owner = frontier.dst_spos.reshape(-1, ck)[:, 0]
+    owner = frontier.chunk_owner
     per_chunk = jnp.take(vals, owner)
     return jnp.broadcast_to(
         per_chunk[:, None], (owner.shape[0], ck)
     ).reshape(-1)
+
+
+def frontier_segment_sum(
+    frontier: Frontier, vals: jax.Array, n_seed_cap: int
+) -> jax.Array:
+    """Segment-sum of per-slot values into their dst seed position,
+    exploiting the chunk structure: per-chunk partial sums (a pure VPU
+    reshape-reduce) + one tiny sorted scatter of [n_chunks] partials by
+    chunk owner.  Measured ~0 ms where the generic 3M-element
+    masked_segment_sum scatter costs ~6 ms.  ``vals`` must already be
+    zero on masked slots (every sampler quantity is)."""
+    ck = frontier.ck
+    partial = vals.reshape(-1, ck).sum(axis=1)
+    partial = jnp.where(frontier.chunk_valid, partial, 0)
+    return jax.ops.segment_sum(
+        partial, frontier.chunk_owner, num_segments=n_seed_cap,
+        indices_are_sorted=True,
+    )
 
 
 def gather_in_edges(
@@ -89,20 +112,23 @@ def gather_in_edges(
     e_cap: int,
     ck: int | None = None,
 ) -> Frontier:
-    """dgl.in_subgraph as a static-shape, chunk-aligned flatten of CSC rows.
+    """dgl.in_subgraph as a static-shape, grid-aligned flatten of CSC rows.
 
-    Each valid seed s owns ceil(deg(s)/ck) consecutive chunks; chunk
-    ownership is found by binary search over the exclusive cumsum of chunk
-    counts.  Chunks beyond capacity are dropped (truncation reported via
+    Each valid seed s owns the consecutive run of grid rows
+    [row_start//ck, ceil(row_end/ck)) that its CSC range touches; slots of
+    a grid row outside [row_start, row_end) are masked (a boundary row
+    shared with another seed appears once per seed).  Ownership is found
+    by binary search over the exclusive cumsum of per-seed row counts.
+    Rows beyond capacity are dropped (truncation reported via
     ``total_edges`` vs the kept mask count).
 
-    ``ck`` auto-sizes to the capacity-per-seed ratio (a chunk per low-degree
+    ``ck`` auto-sizes to the capacity-per-seed ratio (a row per low-degree
     seed must not eat the capacity); CapacityPlan guarantees
     e_cap >= 8 * n_seeds.
     """
     n_seeds = seeds.shape[0]
     if ck is None:
-        # cap per-seed padding (<= ck-1 slots each) at half the capacity
+        # cap per-seed padding (< 2*ck slots each) at half the capacity
         ck = max(8, min(128, e_cap // (2 * max(1, n_seeds))))
         ck = 1 << (ck.bit_length() - 1)  # floor to a power of two
     ck = min(ck, max(e_cap, 1))
@@ -112,12 +138,12 @@ def gather_in_edges(
     e_cap = n_chunk_cap * ck
     safe_seeds = jnp.where(seeds_mask, seeds, 0)
     row_start = jnp.take(csc_indptr, safe_seeds).astype(jnp.int32)
-    deg = jnp.where(
-        seeds_mask,
-        (jnp.take(csc_indptr, safe_seeds + 1) - row_start).astype(jnp.int32),
-        0,
-    )
-    nchunks = (deg + (ck - 1)) // ck
+    row_end = jnp.take(csc_indptr, safe_seeds + 1).astype(jnp.int32)
+    deg = jnp.where(seeds_mask, row_end - row_start, 0)
+    row_end = jnp.where(seeds_mask, row_end, row_start)
+    g_start = row_start // ck
+    g_end = jnp.where(deg > 0, (row_end + ck - 1) // ck, g_start)
+    nchunks = g_end - g_start
     coff = jnp.cumsum(nchunks) - nchunks  # exclusive cumsum [n_seeds]
     total_chunks = jnp.sum(nchunks)
     total = jnp.sum(deg)
@@ -129,18 +155,18 @@ def gather_in_edges(
     )
     chunk_valid = cpos < jnp.minimum(total_chunks, n_chunk_cap)
     within_chunkidx = cpos - jnp.take(coff, owner)
-    chunk_start = jnp.take(row_start, owner) + within_chunkidx * ck
-    chunk_start = jnp.where(chunk_valid, chunk_start, 0)
+    chunk_gidx = jnp.take(g_start, owner) + within_chunkidx
+    chunk_gidx = jnp.where(chunk_valid, chunk_gidx, 0)
 
     # per-slot quantities, [n_chunk_cap, ck] -> [e_cap]
     j = jnp.arange(ck, dtype=jnp.int32)
-    within = within_chunkidx[:, None] * ck + j[None, :]
+    eid2d = chunk_gidx[:, None] * ck + j[None, :]
     e_mask = (
-        chunk_valid[:, None] & (within < jnp.take(deg, owner)[:, None])
+        chunk_valid[:, None]
+        & (eid2d >= jnp.take(row_start, owner)[:, None])
+        & (eid2d < jnp.take(row_end, owner)[:, None])
     ).reshape(-1)
-    eid = jnp.where(
-        e_mask, (chunk_start[:, None] + j[None, :]).reshape(-1), 0
-    )
+    eid = jnp.where(e_mask, eid2d.reshape(-1), 0)
     dst_spos = jnp.where(
         e_mask, jnp.broadcast_to(owner[:, None], (n_chunk_cap, ck)).reshape(-1), 0
     )
@@ -150,7 +176,8 @@ def gather_in_edges(
         dst_spos=dst_spos,
         e_mask=e_mask,
         total_edges=total,
-        chunk_start=chunk_start,
+        chunk_gidx=chunk_gidx,
+        chunk_owner=owner,
         chunk_valid=chunk_valid,
     )
     src = frontier_gather(frontier, csc_src).astype(jnp.int32)
@@ -199,8 +226,10 @@ def compact_candidates(
     pos_of_gid = jnp.zeros(n_nodes, jnp.int32).at[
         jnp.where(out_mask, idx, n_nodes)
     ].set(jnp.arange(c_cap, dtype=jnp.int32), mode="drop")
+    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
+
     src_cpos = jnp.where(
-        frontier.e_mask, jnp.take(pos_of_gid, frontier.src_gid), 0
+        frontier.e_mask, maybe_lut_gather(pos_of_gid, frontier.src_gid), 0
     )
     seed_cpos = jnp.where(
         seeds_mask, jnp.take(pos_of_gid, jnp.where(seeds_mask, seeds, 0)), 0

@@ -45,6 +45,7 @@ from bliss_gnn_tpu.sampling.frontier import (
     compact_candidates,
     frontier_gather,
     frontier_seed_broadcast,
+    frontier_segment_sum,
     gather_in_edges,
 )
 
@@ -126,9 +127,7 @@ def _exp3_edge_prob(
     ew = jnp.where(
         frontier.e_mask, frontier_gather(frontier, exp3_row), 0
     ).astype(jnp.float32)
-    sum_dst = masked_segment_sum(
-        ew, frontier.dst_spos, n_seed_cap, frontier.e_mask
-    )
+    sum_dst = frontier_segment_sum(frontier, ew, n_seed_cap)
     denom = frontier_seed_broadcast(frontier, sum_dst)
     w_hat = jnp.where(denom > 0, ew / jnp.where(denom > 0, denom, 1.0), 0.0)
     safe_seeds = jnp.where(seeds >= 0, seeds, 0)
@@ -156,8 +155,8 @@ def _importance_node_prob(
     """
     c_cap = cand.gids.shape[0]
     if normalize_per_dst:
-        s_i = masked_segment_sum(
-            edge_prob, frontier.dst_spos, n_seed_cap, frontier.e_mask
+        s_i = frontier_segment_sum(
+            frontier, jnp.where(frontier.e_mask, edge_prob, 0.0), n_seed_cap
         )
         denom = frontier_seed_broadcast(frontier, s_i)
         r = jnp.where(denom > 0, edge_prob / jnp.where(denom > 0, denom, 1.0), 0.0)
@@ -303,7 +302,9 @@ def _build_block(
         n_seed_cap + jnp.arange(extra_cap, dtype=jnp.int32), mode="drop"
     )
 
-    keep = frontier.e_mask & jnp.take(sel, cand.src_cpos)
+    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
+
+    keep = frontier.e_mask & maybe_lut_gather(sel, cand.src_cpos)
     eidx, e_mask_b, n_kept = compact_by_mask(keep, e_blk_cap)
 
     e_src_cpos = jnp.take(cand.src_cpos, eidx)
