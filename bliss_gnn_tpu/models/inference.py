@@ -60,6 +60,34 @@ def make_pallas_spmm(graph: DeviceGraph, band: int = 16384, wr: int = 256,
     return spmm
 
 
+def make_pallas_gat(graph: DeviceGraph, band: int = 8192, wr: int = 256,
+                    et: int = 2048):
+    """Banded-Pallas GATv2 attention closure (ops/gat_pallas.py) — one
+    online-softmax sweep instead of the 3-pass XLA streaming path
+    (measured 135x at 400k edges).  band=8192 keeps the f32 band block
+    within VMEM up to H*O_pad = 1024 feature lanes."""
+    import numpy as np
+
+    from bliss_gnn_tpu.ops.gat_pallas import banded_gat_attention
+    from bliss_gnn_tpu.ops.spmm_pallas import (
+        DeviceBandedLayout,
+        build_banded_layout,
+    )
+
+    layout = build_banded_layout(
+        np.asarray(graph.csc_indptr),
+        np.asarray(graph.csc_src)[: graph.n_edges],
+        None, band=band, wr=wr, et=et,
+    )
+    dl = DeviceBandedLayout.from_host(layout)
+
+    def gat_attn(feat, attn, negative_slope):
+        return banded_gat_attention(
+            feat, attn, negative_slope, dl, graph.n_nodes
+        )
+    return gat_attn
+
+
 def _sage_layer(p, graph: DeviceGraph, h: jax.Array, dtype,
                 spmm=None) -> jax.Array:
     Wn = p["fc_neigh"]["kernel"].astype(dtype)
@@ -94,17 +122,20 @@ def _gcn_layer(p, graph: DeviceGraph, h: jax.Array, dtype,
 
 def _gat_layer(
     p, graph: DeviceGraph, h: jax.Array, num_heads: int, negative_slope: float,
-    residual: bool, dtype,
+    residual: bool, dtype, gat_attn=None,
 ) -> jax.Array:
     W = p["fc_src"]["kernel"].astype(dtype)
     attn = p["attn"]
     HO = W.shape[1]
     O = HO // num_heads
     feat = (h.astype(dtype) @ W).reshape(-1, num_heads, O)
-    rst = full_gat_attention(
-        feat, attn, negative_slope, graph.csc_indptr, graph.csc_src,
-        graph.n_nodes, graph.n_edges,
-    )
+    if gat_attn is not None:
+        rst = gat_attn(feat, attn, negative_slope)
+    else:
+        rst = full_gat_attention(
+            feat, attn, negative_slope, graph.csc_indptr, graph.csc_src,
+            graph.n_nodes, graph.n_edges,
+        )
     if residual:
         if "res_fc" in p:
             res = (h.astype(dtype) @ p["res_fc"]["kernel"].astype(dtype))
@@ -125,13 +156,15 @@ def layerwise_inference(
     residual: bool = False,
     dtype=jnp.bfloat16,
     spmm=None,
+    gat_attn=None,
 ) -> jax.Array:
     """Run every layer over the full graph; returns [N, n_classes] logits
     (f32).  Dropout off (eval), activations between layers per model
     (ReLU for SAGE, ReLU-in-conv for GCN, ELU + head flatten for GATv2).
 
     ``spmm``: optional unit-weight SpMM backend (e.g. make_pallas_spmm) for
-    SAGE/GCN; GAT keeps the streaming-softmax XLA path."""
+    SAGE/GCN; ``gat_attn``: optional attention backend for GATv2 (e.g.
+    make_pallas_gat), else the streaming-softmax XLA path."""
     p = params["params"]
     h = graph.ndata["features"].astype(jnp.float32)
     name = model_name.lower()
@@ -149,7 +182,7 @@ def layerwise_inference(
             first = l == 0
             rst = _gat_layer(
                 p[f"gatv2_layers_{l}"], graph, h, heads[l], negative_slope,
-                residual and not first, dtype,
+                residual and not first, dtype, gat_attn=gat_attn,
             )
             if not last:
                 rst = jax.nn.elu(rst)

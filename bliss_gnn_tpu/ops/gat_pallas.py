@@ -1,0 +1,254 @@
+"""Banded Pallas GATv2 attention aggregation (full-graph inference path).
+
+Replaces the 3-pass XLA streaming softmax (ops/fullgraph.py:
+full_gat_attention) with ONE banded sweep using flash-attention-style
+online softmax: the accumulator block carries, per dst row and head, the
+running max M, the running denominator d, and the weighted feature sums in
+the running-max frame.  Each tile folds in:
+
+    m_tile[w,h] = max over tile edges into w of logit e
+    M'          = max(M, m_tile);  s = exp(M - M')
+    w_e         = exp(e - M'[dst_e])          (0 on padded slots)
+    acc'        = acc * s + sum_e w_e * feat_src(e)
+    d'          = d * s + sum_e w_e
+
+Same layout/aliasing contract as ops/spmm_pallas.py: tiles of a (band,
+window) bucket are consecutive within a band sweep, the first tile of a
+run reads the HBM accumulator, later tiles accumulate into the resident
+output block.  GATv2 logit semantics mirror models/layers.py:GATv2Conv /
+the reference's custom_GATv2Conv (model.py:80-98):
+e = sum_O(leakyrelu(el_src + er_dst) * attn), softmax per dst per head,
+message el_src * a.
+
+Per-edge dst-side operands come from the resident window block via one-hot
+MXU contractions (no dst gathers); per-edge src features use the same VMEM
+row-gather loop as the SpMM kernel.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bliss_gnn_tpu.ops.spmm_pallas import DeviceBandedLayout, _round_up
+
+NEG = -1e30
+
+
+def _gat_kernel(et: int, wr: int, f: int, h: int, o: int, slope: float,
+                unroll: int, mxu_dtype=jnp.bfloat16):
+    def kernel(
+        tile_win_ref,  # scalar prefetch [nt]
+        tile_first_ref,  # scalar prefetch [nt]
+        src_rel_ref,  # [et] SMEM
+        dst_rel_ref,  # [1, 1, et] VMEM int32
+        w_ref,  # [1, 1, et] VMEM f32 (0 = padded slot)
+        attn_ref,  # [f, h] VMEM f32 (block-diagonal attention vector)
+        band_ref,  # [band, f] VMEM f32 (src features, this band)
+        win_ref,  # [wr, f] VMEM f32 (dst features, this tile's window)
+        acc_in_ref,  # [wr, f + 2h] VMEM f32 (aliased)
+        acc_out_ref,
+        msgs_ref,  # scratch [et, f]
+    ):
+        t = pl.program_id(0)
+
+        def body(i, _):
+            base = i * unroll
+            for j in range(unroll):
+                msgs_ref[pl.ds(base + j, 1), :] = band_ref[
+                    pl.ds(src_rel_ref[base + j], 1), :
+                ]
+            return 0
+
+        jax.lax.fori_loop(0, et // unroll, body, 0)
+
+        rel = dst_rel_ref[0, 0, :]  # [et] lane-major
+        wv = w_ref[0, 0, :]  # [et] lane-major
+        rows = jax.lax.broadcasted_iota(jnp.int32, (wr, et), 0)
+        onehot_w2e = rows == rel[None, :]  # [wr, et]
+
+        # er per edge via one-hot MXU: [et, wr] @ [wr, f]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (et, wr), 1)
+        rel_col = jnp.sum(
+            jnp.where(onehot_w2e, rows, 0), axis=0
+        )  # [et] = rel again (lane->sublane relayout happens at [:, None])
+        onehot_e2w = (cols == rel_col[:, None]).astype(mxu_dtype)
+        er = jnp.dot(
+            onehot_e2w, win_ref[:].astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )  # [et, f]
+        z = msgs_ref[:] + er
+        z = jnp.where(z >= 0, z, slope * z)
+        e = jnp.dot(
+            z.astype(mxu_dtype), attn_ref[:].astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )  # [et, h]
+        w_col = jnp.sum(
+            jnp.where(onehot_w2e, wv[None, :], 0.0), axis=0
+        )  # [et] sublane-major? axis=0 reduce of [wr, et] -> [et] lane-major
+        # NOTE: reductions of [wr, et] along axis 0 give a lane-major [et]
+        # vector; e is [et, h] sublane-major.  Mask via broadcast transpose:
+        eT = e.T  # [h, et]
+        validT = (w_col > 0)[None, :]  # [1, et]
+        eT = jnp.where(validT, eT, NEG)
+
+        # per-dst tile max, per head: [wr, et] masked by onehot
+        m_parts = []
+        for hh in range(h):
+            masked = jnp.where(onehot_w2e, eT[hh][None, :], NEG)
+            m_parts.append(jnp.max(masked, axis=1, keepdims=True))
+        m_tile = jnp.concatenate(m_parts, axis=1)  # [wr, h]
+
+        first = tile_first_ref[t] == 1
+
+        def fold(acc_prev):
+            feats = acc_prev[:, :f]
+            m_old = acc_prev[:, f : f + h]
+            d_old = acc_prev[:, f + h :]
+            m_new = jnp.maximum(m_old, m_tile)
+            scale = jnp.exp(m_old - m_new)  # [wr, h]
+            # m per edge: [et, wr] @ [wr, h] in f32 — w_e and the d/scale
+            # updates must use the SAME m frame; a bf16-rounded m here
+            # would skew every weight by exp(m - round(m))
+            m_e = jnp.dot(
+                onehot_e2w.astype(jnp.float32), m_new,
+                preferred_element_type=jnp.float32,
+            )
+            m_eT = m_e.T  # [h, et]
+            w_eT = jnp.where(validT, jnp.exp(eT - m_eT), 0.0)  # [h, et]
+            parts = []
+            d_parts = []
+            for hh in range(h):
+                oneh = jnp.where(
+                    onehot_w2e, w_eT[hh][None, :], 0.0
+                )  # [wr, et] f32
+                part = jnp.dot(
+                    oneh.astype(mxu_dtype),
+                    msgs_ref[:, hh * o : (hh + 1) * o].astype(mxu_dtype),
+                    preferred_element_type=jnp.float32,
+                )  # [wr, o]
+                parts.append(part)
+                d_parts.append(jnp.sum(oneh, axis=1, keepdims=True))
+            part_all = jnp.concatenate(parts, axis=1)  # [wr, f]
+            d_tile = jnp.concatenate(d_parts, axis=1)  # [wr, h]
+            scale_f = jnp.repeat(scale, o, axis=1)  # [wr, f]
+            feats = feats * scale_f + part_all
+            d_new = d_old * scale + d_tile
+            return jnp.concatenate([feats, m_new, d_new], axis=1)
+
+        @pl.when(first)
+        def _():
+            acc_out_ref[:, :] = fold(acc_in_ref[:, :])
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            acc_out_ref[:, :] = fold(acc_out_ref[:, :])
+
+    return kernel
+
+
+def banded_gat_attention(
+    feat: jax.Array,  # [N, H, O] projected features (shared src/dst)
+    attn: jax.Array,  # [1, H, O] (or [H, O]) attention vector
+    negative_slope: float,
+    layout: DeviceBandedLayout,
+    n_nodes: int,
+    unroll: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full-graph GATv2 attention aggregation -> [N, H, O] f32.
+
+    ``layout`` must be built with unit edge_vals (weights only mark valid
+    slots).  O is lane-padded internally; H*O_pad must fit the VMEM budget
+    (band f32 features resident per sweep).
+    """
+    m = layout.meta
+    H, O = feat.shape[1], feat.shape[2]
+    o_pad = _round_up(O, 128)
+    f = H * o_pad
+    # block-diagonal attention: attn_blk[h*o_pad + j, h] = attn[h, j]
+    attn2 = attn.reshape(H, O).astype(jnp.float32)
+    attn_blk = jnp.zeros((f, H), jnp.float32)
+    for hh in range(H):
+        attn_blk = attn_blk.at[
+            hh * o_pad : hh * o_pad + O, hh
+        ].set(attn2[hh])
+    # padded flat features, [rows, f]
+    rows_needed = max(m.n_bands * m.band, m.n_wins * m.wr)
+    x = jnp.zeros((rows_needed, f), jnp.float32)
+    src = feat.astype(jnp.float32)
+    for hh in range(H):
+        x = x.at[:n_nodes, hh * o_pad : hh * o_pad + O].set(src[:, hh, :])
+
+    acc = jnp.zeros((m.n_wins * m.wr, f + 2 * H), jnp.float32)
+    acc = acc.at[:, f : f + H].set(NEG)
+    unroll = math.gcd(unroll, m.et)
+    mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
+    kernel = _gat_kernel(m.et, m.wr, f, H, o_pad, negative_slope, unroll,
+                         mxu_dtype)
+    nt = m.nt_per_band
+    for band_id in range(m.n_bands):
+        t0, t1 = band_id * nt, (band_id + 1) * nt
+        band_slice = jax.lax.dynamic_slice_in_dim(
+            x, band_id * m.band, m.band, axis=0
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((m.et,), lambda i, tw, tf: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, m.et), lambda i, tw, tf: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, m.et), lambda i, tw, tf: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # attn_blk
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # whole band
+                pl.BlockSpec((m.wr, f), lambda i, tw, tf: (tw[i], 0),
+                             memory_space=pltpu.VMEM),  # window feats
+                pl.BlockSpec((m.wr, f + 2 * H),
+                             lambda i, tw, tf: (tw[i], 0),
+                             memory_space=pltpu.VMEM),  # acc in
+            ],
+            out_specs=pl.BlockSpec(
+                (m.wr, f + 2 * H), lambda i, tw, tf: (tw[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((m.et, f), jnp.float32)],
+        )
+        acc = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (m.n_wins * m.wr, f + 2 * H), jnp.float32
+            ),
+            grid_spec=grid_spec,
+            input_output_aliases={8: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            layout.tile_win[band_id],
+            layout.tile_first[band_id],
+            layout.src_rel[band_id],
+            layout.dst_rel[t0:t1],
+            layout.edge_w[t0:t1],
+            attn_blk,
+            band_slice,
+            x[: m.n_wins * m.wr],
+            acc,
+        )
+    feats = acc[:n_nodes, :f]
+    d = jnp.maximum(acc[:n_nodes, f + H :], jnp.finfo(jnp.float32).tiny)
+    out = jnp.zeros((n_nodes, H, O), jnp.float32)
+    for hh in range(H):
+        out = out.at[:, hh, :].set(
+            feats[:, hh * o_pad : hh * o_pad + O] / d[:, hh : hh + 1]
+        )
+    return out

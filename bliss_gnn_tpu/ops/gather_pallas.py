@@ -38,8 +38,13 @@ def _round_up(x: int, m: int) -> int:
 
 def maybe_lut_gather(lut: jax.Array, idx: jax.Array) -> jax.Array:
     """lut_gather on TPU when the LUT fits VMEM and values survive the f32
-    round-trip (integer LUTs must stay < 2^24); jnp.take otherwise.  Output
-    dtype follows the LUT."""
+    round-trip; jnp.take otherwise.  Output dtype follows the LUT.
+
+    CAVEAT: the integer gate uses the LUT *length* as a proxy for the value
+    bound (exactly right for position/relabel LUTs, whose values are
+    bounded by another capacity of the same order).  Do NOT route integer
+    LUTs whose VALUES can exceed 2^24 regardless of length (e.g.
+    csc_indptr, whose entries are edge offsets) through this helper."""
     use = (
         jax.default_backend() == "tpu"
         and lut.shape[0] <= MAX_LUT_ELEMS

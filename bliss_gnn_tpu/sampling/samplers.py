@@ -583,10 +583,12 @@ def _calculate_rewards(
     """STEP_06: r_ij = alpha^2 / k_i * ||h_j||^2 / q_ij^2
     (bandit_sampler.py:160-193).  k_i = kept-edge in-degree of dst i;
     embed_norm = ||h_src|| recorded by the model pre-aggregation."""
+    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
+
     k_i = block.in_degrees().astype(jnp.float32)
     a_div_k = (alpha * alpha) / jnp.take(k_i, block.e_dst)
     a_div_k = jnp.nan_to_num(a_div_k, posinf=0.0)  # :187
-    h = jnp.take(embed_norm.astype(jnp.float32), block.e_src)
+    h = maybe_lut_gather(embed_norm.astype(jnp.float32), block.e_src)
     q = block.e_q
     h_div_q = (h * h) / jnp.where(q > 0, q * q, 1.0)
     r = a_div_k * h_div_q

@@ -87,6 +87,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max-frontier-edges", type=int, default=-1)
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace of N training steps")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="chain K fused steps in one lax.scan dispatch")
     return p
 
 
@@ -133,6 +135,7 @@ def config_from_args(args) -> "TrainConfig":
         profile_steps=args.profile_steps,
         use_uva=args.use_uva,
         cache_size=args.cache_size,
+        steps_per_call=args.steps_per_call,
         compute_dtype="float32" if args.precision == "highest" else "bfloat16",
     )
 

@@ -94,56 +94,7 @@ def make_train_step(
     scale — measured to blow up remote compilation).  The returned callable
     still has the (state, seeds, mask) signature; the graph rides along via
     a default-bound pytree argument."""
-    del graph  # bound at call time by the wrapper below
-
-    def step(state: TrainState, seeds: jax.Array, seeds_mask: jax.Array,
-             graph: DeviceGraph):
-        features = graph.ndata["features"]
-        labels_all = graph.ndata["labels"]
-        key, k_sample, k_drop = jax.random.split(state.key, 3)
-        blocks, samp_stats = sample_blocks(
-            graph, sampler_cfg, plan, k_sample, seeds, seeds_mask,
-            state.exp3_weights,
-        )
-        x = jnp.take(features, blocks[0].src_gids, axis=0)
-        labels = jnp.take(labels_all, blocks[-1].dst_gids, axis=0)
-        dst_mask = blocks[-1].dst_mask
-
-        def loss_fn(params):
-            logits, aux = model.apply(
-                params, blocks, x, deterministic=False,
-                rngs={"dropout": k_drop},
-            )
-            loss = cross_entropy_loss(logits, labels, dst_mask, multilabel)
-            return loss, (logits, aux)
-
-        (loss, (logits, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-
-        if sampler_cfg.is_bandit:
-            exp3 = exp3_update(
-                graph, sampler_cfg, state.exp3_weights, blocks,
-                aux["embed_norms"], aux["a_ijs"],
-            )
-        else:
-            exp3 = state.exp3_weights
-
-        f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)
-        metrics = {
-            "train_loss": loss,
-            "f1": f1,
-            **_block_count_metrics(blocks),
-            **{k: v for k, v in samp_stats.items() if "overflow" in k},
-        }
-        new_state = TrainState(
-            params=params, opt_state=opt_state, exp3_weights=exp3,
-            key=key, step=state.step + 1,
-        )
-        return new_state, metrics
-
+    step = _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel)
     jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
 
     def bound(state, seeds, seeds_mask, graph):
@@ -183,6 +134,89 @@ def make_eval_step(
         return f1, loss * n, n
 
     return jax.jit(step)
+
+
+def make_multi_train_step(
+    graph: DeviceGraph,
+    model,
+    tx: optax.GradientTransformation,
+    sampler_cfg: SamplerConfig,
+    plan: CapacityPlan,
+    multilabel: bool,
+    n_steps: int,
+) -> Callable:
+    """Chain ``n_steps`` fused train steps inside one jitted ``lax.scan``
+    (one dispatch per chain).  Dispatch latency is dead time the reference
+    pays per DataLoader batch; on TPU one scan amortizes it to ~zero —
+    through this environment's tunnel each dispatch costs ~33 ms, i.e.
+    more than a whole small-config step.
+
+    seeds/masks are [n_steps, B]; returns (state', metrics stacked
+    [n_steps, ...])."""
+    single = _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel)
+
+    def multi(state: TrainState, seeds, seeds_mask, graph: DeviceGraph):
+        def body(st, xs):
+            s, m = xs
+            st2, metrics = single(st, s, m, graph)
+            return st2, metrics
+
+        return jax.lax.scan(body, state, (seeds, seeds_mask))
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
+def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel):
+    """The raw (untraced) fused step body shared by make_train_step and
+    make_multi_train_step."""
+    del graph
+
+    def step(state: TrainState, seeds, seeds_mask, graph: DeviceGraph):
+        features = graph.ndata["features"]
+        labels_all = graph.ndata["labels"]
+        key, k_sample, k_drop = jax.random.split(state.key, 3)
+        blocks, samp_stats = sample_blocks(
+            graph, sampler_cfg, plan, k_sample, seeds, seeds_mask,
+            state.exp3_weights,
+        )
+        x = jnp.take(features, blocks[0].src_gids, axis=0)
+        labels = jnp.take(labels_all, blocks[-1].dst_gids, axis=0)
+        dst_mask = blocks[-1].dst_mask
+
+        def loss_fn(params):
+            logits, aux = model.apply(
+                params, blocks, x, deterministic=False,
+                rngs={"dropout": k_drop},
+            )
+            loss = cross_entropy_loss(logits, labels, dst_mask, multilabel)
+            return loss, (logits, aux)
+
+        (loss, (logits, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if sampler_cfg.is_bandit:
+            exp3 = exp3_update(
+                graph, sampler_cfg, state.exp3_weights, blocks,
+                aux["embed_norms"], aux["a_ijs"],
+            )
+        else:
+            exp3 = state.exp3_weights
+        f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)
+        metrics = {
+            "train_loss": loss,
+            "f1": f1,
+            **_block_count_metrics(blocks),
+            **{k: v for k, v in samp_stats.items() if "overflow" in k},
+        }
+        new_state = TrainState(
+            params=params, opt_state=opt_state, exp3_weights=exp3,
+            key=key, step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step
 
 
 def make_uva_steps(

@@ -107,6 +107,9 @@ class TrainConfig:
     # (graph/featurecache.py; train_lightning.py:376-380,:394)
     use_uva: bool = False
     cache_size: int = 0  # cached rows; 0 -> min(n_nodes, 2**21)
+    # chain K fused steps in one lax.scan dispatch (steps.py:
+    # make_multi_train_step) — amortizes per-step dispatch latency
+    steps_per_call: int = 1
     # 'auto' uses the banded Pallas SpMM for SAGE/GCN final eval on TPU when
     # the graph is large; 'xla' forces the chunked segment-sum path
     inference_backend: str = "auto"
@@ -140,6 +143,7 @@ class Trainer:
         self.dtype, self.pdtype = dtype, pdtype
 
         self.feature_cache = None
+        self.multi_step = None
         if cfg.use_uva:
             # features stay host-resident; the device sees everything else
             from bliss_gnn_tpu.graph.featurecache import FeatureCache
@@ -252,6 +256,14 @@ class Trainer:
                 self.graph, self.model, self.sampler_cfg, self.plan,
                 self.multilabel,
             )
+            self.multi_step = None
+            if cfg.steps_per_call > 1:
+                from bliss_gnn_tpu.train.steps import make_multi_train_step
+
+                self.multi_step = make_multi_train_step(
+                    self.graph, self.model, self.tx, self.sampler_cfg,
+                    self.plan, self.multilabel, cfg.steps_per_call,
+                )
 
     # -- UVA (host-feature) step wrappers --------------------------------
     def _uva_train_step(self, state, seeds, smask, graph):
@@ -324,27 +336,50 @@ class Trainer:
         while epoch < max_epochs and self.global_step < max_steps and not self._stop:
             batches = self._epoch_batches(rng)
             smask = jnp.ones(self.batch_size, bool)
-            for b in range(batches.shape[0]):
-                seeds = jnp.asarray(batches[b])
-                if cfg.profile_steps > 0 and self.global_step == 2:
-                    jax.profiler.start_trace(
-                        os.path.join(self.run_dir, "profile")
+            K = self.cfg.steps_per_call if self.multi_step is not None else 1
+            b = 0
+            while b < batches.shape[0]:
+                chain = K > 1 and b + K <= batches.shape[0] and (
+                    self.global_step + K <= max_steps
+                ) and cfg.profile_steps == 0
+                if chain:
+                    seeds = jnp.asarray(batches[b : b + K])
+                    masks = jnp.ones((K, self.batch_size), bool)
+                    st = time.time()
+                    self.state, mstack = self.multi_step(
+                        self.state, seeds, masks, self.graph
                     )
-                st = time.time()
-                self.state, metrics = self.train_step(
-                    self.state, seeds, smask, self.graph
-                )
-                metrics = jax.device_get(metrics)
-                fb_time = time.time() - st
-                if (
-                    cfg.profile_steps > 0
-                    and self.global_step == 2 + cfg.profile_steps
-                ):
-                    jax.profiler.stop_trace()
-                self.global_step += 1
-                self._log_train_step(metrics, prev_t, fb_time)
-                prev_t = time.time()
-                self.welford.push(float(metrics["num_nodes/0"]))
+                    mstack = jax.device_get(mstack)
+                    fb_time = (time.time() - st) / K
+                    for k in range(K):
+                        metrics = jax.tree.map(lambda a: a[k], mstack)
+                        self.global_step += 1
+                        self._log_train_step(metrics, prev_t, fb_time)
+                        prev_t = time.time()
+                        self.welford.push(float(metrics["num_nodes/0"]))
+                    b += K
+                else:
+                    seeds = jnp.asarray(batches[b])
+                    if cfg.profile_steps > 0 and self.global_step == 2:
+                        jax.profiler.start_trace(
+                            os.path.join(self.run_dir, "profile")
+                        )
+                    st = time.time()
+                    self.state, metrics = self.train_step(
+                        self.state, seeds, smask, self.graph
+                    )
+                    metrics = jax.device_get(metrics)
+                    fb_time = time.time() - st
+                    if (
+                        cfg.profile_steps > 0
+                        and self.global_step == 2 + cfg.profile_steps
+                    ):
+                        jax.profiler.stop_trace()
+                    self.global_step += 1
+                    self._log_train_step(metrics, prev_t, fb_time)
+                    prev_t = time.time()
+                    self.welford.push(float(metrics["num_nodes/0"]))
+                    b += 1
                 if self.global_step >= max_steps:
                     break
             epoch += 1
@@ -492,18 +527,20 @@ class Trainer:
             [cfg.num_in_heads] * (cfg.num_layers - 1) + [cfg.num_out_heads]
         )
         spmm = None
-        if (
-            cfg.inference_backend == "pallas"
-            or (
-                cfg.inference_backend == "auto"
-                and cfg.model in ("sage", "gcn")
-                and self.host_graph.n_edges > 2_000_000
-                and jax.default_backend() not in ("cpu",)
-            )
-        ):
+        gat_attn = None
+        use_pallas = cfg.inference_backend == "pallas" or (
+            cfg.inference_backend == "auto"
+            and self.host_graph.n_edges > 2_000_000
+            and jax.default_backend() not in ("cpu",)
+        )
+        if use_pallas and cfg.model in ("sage", "gcn"):
             from bliss_gnn_tpu.models.inference import make_pallas_spmm
 
             spmm = make_pallas_spmm(self.graph)
+        if use_pallas and cfg.model == "gat":
+            from bliss_gnn_tpu.models.inference import make_pallas_gat
+
+            gat_attn = make_pallas_gat(self.graph)
         graph = self.graph
         if self.feature_cache is not None:
             # full-graph inference needs the whole feature matrix; upload it
@@ -522,6 +559,7 @@ class Trainer:
             cfg.model, self.state.params, graph, cfg.num_layers,
             heads=heads, negative_slope=cfg.negative_slope,
             residual=cfg.residual, dtype=self.dtype, spmm=spmm,
+            gat_attn=gat_attn,
         )
         labels = self.graph.ndata["labels"]
         out = {}
