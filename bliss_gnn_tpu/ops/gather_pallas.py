@@ -1,21 +1,27 @@
 """Pallas LUT gather: out[i] = lut[idx[i]] for arbitrary per-edge indices.
 
 The sampler's per-edge "SDDMM u->e" ops — keep-mask lookup sel[src_gid[e]],
-candidate relabeling pos_of_gid[src_gid[e]] — lower to XLA scalar gathers
-at ~40 ns/element on TPU (measured; it is the dominant cost of the fused
+candidate relabeling pos_of_gid[src_gid[e]], the block-build takes of
+frontier-indexed arrays by the kept-edge index list — lower to XLA scalar
+gathers at ~6-29 ns/element on TPU (measured; they dominate the fused
 sampling step at multi-million-edge frontier capacities).  This kernel
 keeps the whole LUT resident in VMEM as a [ceil(N/128), 128] grid and, per
 edge, copies the 128-lane row containing the target (the (1, 128) dynamic
 row slice hits Mosaic's fast path, ~1.7 cycles — see
 scripts/probe_gather.py) then selects the lane with a vectorized one-hot
-reduce: ~2 cycles/edge, ~20x the XLA path.
+reduce: ~2.3 ns/edge measured, 3-10x the XLA path.
+
+Two element types share the kernel body:
+- f32 (floats/bool/bf16 LUTs travel as f32);
+- int32 (EXACT — the one-hot select runs in integer arithmetic, so values
+  above 2^24, e.g. global edge ids or csc_indptr offsets, survive).
 
 Constraints (same probing as ops/spmm_pallas.py):
 - indices must be read from SMEM for the row computation AND be available
   as a VMEM vector for the lane select -> idx is passed twice;
 - SMEM int32 blocks need >=1024-element tiles -> edge tile et=2048;
-- LUT must fit in VMEM: N <= ~24M f32 entries (96 MB).  Callers fall back
-  to jnp.take above that (ops/segment.py routes automatically).
+- LUT must fit in VMEM: N <= ~24M 4-byte entries (96 MB).  Callers fall
+  back to jnp.take above that (maybe_lut_gather routes automatically).
 """
 from __future__ import annotations
 
@@ -37,30 +43,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def maybe_lut_gather(lut: jax.Array, idx: jax.Array) -> jax.Array:
-    """lut_gather on TPU when the LUT fits VMEM and values survive the f32
-    round-trip; jnp.take otherwise.  Output dtype follows the LUT.
-
-    CAVEAT: the integer gate uses the LUT *length* as a proxy for the value
-    bound (exactly right for position/relabel LUTs, whose values are
-    bounded by another capacity of the same order).  Do NOT route integer
-    LUTs whose VALUES can exceed 2^24 regardless of length (e.g.
-    csc_indptr, whose entries are edge offsets) through this helper."""
+    """lut_gather on TPU when the LUT fits VMEM and the kernel overhead is
+    amortized; jnp.take otherwise.  Output dtype follows the LUT.  Integer
+    and boolean LUTs route through the exact int32 kernel (no f32
+    round-trip), so arbitrary int32 values — global edge ids, indptr
+    offsets — are safe."""
     use = (
         jax.default_backend() == "tpu"
         and lut.shape[0] <= MAX_LUT_ELEMS
         and idx.shape[0] >= 1 << 16  # kernel overhead beats take only at size
-        and (
-            jnp.issubdtype(lut.dtype, jnp.floating)
-            or lut.shape[0] < (1 << 24)
-        )
     )
     if not use:
         return jnp.take(lut, idx)
-    out = lut_gather(lut, idx)
-    if jnp.issubdtype(lut.dtype, jnp.integer):
-        return jnp.round(out).astype(lut.dtype)
-    if lut.dtype == jnp.bool_:
-        return out > 0.5
+    if jnp.issubdtype(lut.dtype, jnp.integer) or lut.dtype == jnp.bool_:
+        out = lut_gather(lut.astype(jnp.int32), idx, elem_dtype=jnp.int32)
+        if lut.dtype == jnp.bool_:
+            return out != 0
+        return out.astype(lut.dtype)
+    out = lut_gather(lut.astype(jnp.float32), idx, elem_dtype=jnp.float32)
     return out.astype(lut.dtype)
 
 
@@ -77,7 +77,7 @@ def _lut_gather_kernel(et: int, unroll: int):
         jax.lax.fori_loop(0, et // unroll, body, 0)
         rel = idx_col[:, 0] & 127  # [et] sublane-major
         lanes = jax.lax.broadcasted_iota(jnp.int32, (et, 128), 1)
-        onehot = (lanes == rel[:, None]).astype(jnp.float32)
+        onehot = (lanes == rel[:, None]).astype(msgs_ref.dtype)
         out_ref[:, :] = jnp.sum(
             msgs_ref[:] * onehot, axis=1, keepdims=True
         )
@@ -85,21 +85,25 @@ def _lut_gather_kernel(et: int, unroll: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret", "et", "unroll"))
+@partial(
+    jax.jit, static_argnames=("interpret", "et", "unroll", "elem_dtype")
+)
 def lut_gather(
-    lut: jax.Array,  # [N] f32 (or castable) lookup table
+    lut: jax.Array,  # [N] f32 or int32 lookup table
     idx: jax.Array,  # [M] int32 indices into [0, N)
     interpret: bool = False,
     et: int = 2048,
     unroll: int = 32,
+    elem_dtype=jnp.float32,
 ) -> jax.Array:
-    """out[i] = lut[idx[i]], f32.  M is padded to a tile multiple
-    internally; indices must be in-range (mask upstream)."""
+    """out[i] = lut[idx[i]] in ``elem_dtype`` (f32 or int32 — int32 is
+    exact).  M is padded to a tile multiple internally; indices must be
+    in-range (mask upstream)."""
     n = lut.shape[0]
     m = idx.shape[0]
     assert n <= MAX_LUT_ELEMS, f"LUT of {n} too large for VMEM residency"
-    lut2d = jnp.zeros((_round_up(n, 128) // 128, 128), jnp.float32)
-    lut2d = lut2d.reshape(-1).at[:n].set(lut.astype(jnp.float32))
+    lut2d = jnp.zeros((_round_up(n, 128) // 128, 128), elem_dtype)
+    lut2d = lut2d.reshape(-1).at[:n].set(lut.astype(elem_dtype))
     lut2d = lut2d.reshape(-1, 128)
     mp = _round_up(m, et)
     idx_p = jnp.zeros(mp, jnp.int32).at[:m].set(idx.astype(jnp.int32))
@@ -108,7 +112,7 @@ def lut_gather(
     kernel = _lut_gather_kernel(et, unroll)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((mp, 1), elem_dtype),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((et,), lambda i: (i,), memory_space=pltpu.SMEM),
@@ -118,7 +122,7 @@ def lut_gather(
         ],
         out_specs=pl.BlockSpec((et, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((et, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((et, 128), elem_dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),

@@ -52,6 +52,7 @@ def make_dp_train_step(
     plan: CapacityPlan,
     multilabel: bool,
     axis: str = "dp",
+    exp3_normalize: bool = True,
 ) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict]]:
     """Build the sharded fused step.
 
@@ -108,7 +109,9 @@ def make_dp_train_step(
                 )
                 for (eid, dr) in deltas
             ]
-            exp3 = apply_exp3_deltas(state.exp3_weights, gathered)
+            exp3 = apply_exp3_deltas(
+                state.exp3_weights, gathered, normalize=exp3_normalize
+            )
         else:
             exp3 = state.exp3_weights
 

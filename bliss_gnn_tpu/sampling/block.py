@@ -40,6 +40,12 @@ class Block:
     e_weight: jax.Array  # [e_cap] f32 — debiased aggregation weight W-tilde
     e_q: jax.Array  # [e_cap] f32 — edge sampling prob q_ij (bandit)
     src_node_prob: jax.Array  # [n_src_cap] f32 — node prob P (bandit)
+    # static normalized graph weight w_e per kept edge (DGL carries edata
+    # through every subgraph op; the EXP3 alpha for sage/gcn reads it,
+    # bandit_sampler.py:144-147).  Gathered at frontier level — a chunked
+    # row take — instead of a per-edge scalar gather from the [E] global
+    # array (measured 11.6 ms/step at Reddit scale).
+    e_alpha: jax.Array = None
     n_dst_cap: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
@@ -102,6 +108,10 @@ class CapacityPlan:
     frontier_caps: Tuple[int, ...]
     cand_caps: Tuple[int, ...]
     block_e_caps: Tuple[int, ...]
+    # per-layer: skip compact_graphs and use global node ids as candidate
+    # positions (sampling/frontier.py:dense_candidates) — set when the
+    # candidate capacity is clamped to n_nodes anyway
+    dense_cands: Tuple[bool, ...] = ()
 
     @staticmethod
     def build(
@@ -117,6 +127,7 @@ class CapacityPlan:
         align: int = 128,
         deg_std: float | None = None,
         max_degree: int | None = None,
+        dense_candidates: bool | None = None,
     ) -> "CapacityPlan":
         """Size the per-layer capacities for a sampler family.
 
@@ -149,6 +160,7 @@ class CapacityPlan:
         frontier_caps = [0] * L
         cand_caps = [0] * L
         block_e_caps = [0] * L
+        dense_cands = [False] * L
 
         cap = batch_size
         for l in reversed(range(L)):
@@ -191,6 +203,14 @@ class CapacityPlan:
             block_e_caps[l] = min(_round_up(max(becap, cap), align), fcap)
             # +1 slot: the sentinel consumes one unique() slot under padding
             cand_caps[l] = _round_up(min(n_nodes + 1, cap + fcap + 1), align)
+            # candidate space clamped to the node count -> compaction is
+            # (nearly) the identity; go dense unless overridden
+            dense = layerwise and (n_nodes + 1 <= cap + fcap + 1)
+            if dense_candidates is not None:
+                dense = layerwise and dense_candidates
+                if dense:
+                    cand_caps[l] = _round_up(n_nodes + 1, align)
+            dense_cands[l] = dense
             cap = cap + extra  # next layer's seed table = this src table
 
         return CapacityPlan(
@@ -201,6 +221,7 @@ class CapacityPlan:
             frontier_caps=tuple(frontier_caps),
             cand_caps=tuple(cand_caps),
             block_e_caps=tuple(block_e_caps),
+            dense_cands=tuple(dense_cands),
         )
 
     def src_cap(self, l: int) -> int:

@@ -185,11 +185,20 @@ def gather_in_edges(
 
 
 class Candidates(NamedTuple):
-    """Compacted (sorted-unique) node set of a frontier: seeds ∪ srcs."""
+    """Compacted (sorted-unique) node set of a frontier: seeds ∪ srcs.
+
+    Two construction modes share this shape:
+    - ``compact_candidates`` (dgl.compact_graphs parity): dense ascending
+      relabel over [c_cap] slots, mask/n filled here;
+    - ``dense_candidates``: candidate position == global node id (used when
+      c_cap would reach n_nodes anyway); ``mask``/``n`` are ``None`` until
+      the sampler derives them from the node probabilities — membership and
+      positive sampling probability have identical support.
+    """
 
     gids: jax.Array  # [c_cap] sorted ascending, SENTINEL-padded
-    mask: jax.Array  # [c_cap]
-    n: jax.Array  # scalar — number of valid candidates
+    mask: jax.Array | None  # [c_cap]
+    n: jax.Array | None  # scalar — number of valid candidates
     src_cpos: jax.Array  # [e_cap] candidate position of each edge's src
     seed_cpos: jax.Array  # [n_seeds] candidate position of each seed
     is_seed: jax.Array  # [c_cap] candidate-is-a-seed mask
@@ -244,6 +253,45 @@ def compact_candidates(
     )
 
 
+def dense_candidates(
+    seeds: jax.Array,
+    seeds_mask: jax.Array,
+    frontier: Frontier,
+    c_cap: int,
+    n_nodes: int,
+) -> Candidates:
+    """compact_graphs SKIPPED: candidate position == global node id.
+
+    At large batch/fan-out configs on mid-size graphs the candidate
+    capacity is clamped to n_nodes (CapacityPlan), so the dense relabeling
+    of ``compact_candidates`` is nearly the identity — yet its [N] mark
+    scatter, prefix-sum compaction, position-LUT build, and per-edge
+    relabel gather were measured at ~30 ms/step on the Reddit config.
+    Here they all vanish: src positions ARE the frontier's src gids and
+    seed positions ARE the seeds.  ``mask``/``n`` are left ``None``; the
+    sampler fills them from the node probabilities (prob > 0 | is_seed),
+    whose support equals frontier membership since every valid edge
+    carries positive sampling weight (EXP3 probs have the eta/n_i floor,
+    LADIES weights are positive by construction).
+
+    Requires c_cap > n_nodes (one out-of-range dump slot — CapacityPlan
+    rounds n_nodes + 1 up to alignment).
+    """
+    assert c_cap > n_nodes, "dense candidates need c_cap > n_nodes"
+    safe_seeds = jnp.where(seeds_mask, seeds, c_cap)
+    is_seed = jnp.zeros(c_cap, dtype=bool).at[safe_seeds].set(
+        True, mode="drop"
+    )
+    return Candidates(
+        gids=jnp.arange(c_cap, dtype=jnp.int32),
+        mask=None,
+        n=None,
+        src_cpos=frontier.src_gid,  # already zeroed on masked slots
+        seed_cpos=jnp.where(seeds_mask, seeds, 0),
+        is_seed=is_seed,
+    )
+
+
 def compact_by_mask(mask: jax.Array, out_cap: int):
     """Stable compaction: indices of True entries packed into ``out_cap``
     slots (boolean indexing with a static output size).
@@ -257,13 +305,17 @@ def compact_by_mask(mask: jax.Array, out_cap: int):
     0.  Overflow (n > out_cap) truncates to the first out_cap True entries.
     """
     n_in = mask.shape[0]
+    arange_in = jnp.arange(n_in, dtype=jnp.int32)
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1  # rank of each True entry
     n = jnp.sum(mask.astype(jnp.int32))
-    slot = jnp.where(mask & (pos < out_cap), pos, out_cap)
+    # dropped slots get DISTINCT out-of-range targets so the scatter is
+    # truthfully unique-indexed — XLA then skips its duplicate-combining
+    # sort pass (measured ~4 ms on a 3M-slot frontier)
+    slot = jnp.where(mask & (pos < out_cap), pos, out_cap + arange_in)
     idx = (
         jnp.zeros(out_cap, jnp.int32)
         .at[slot]
-        .set(jnp.arange(n_in, dtype=jnp.int32), mode="drop")
+        .set(arange_in, mode="drop", unique_indices=True)
     )
     out_mask = jnp.arange(out_cap, dtype=jnp.int32) < n
     return idx, out_mask, n

@@ -43,6 +43,7 @@ from bliss_gnn_tpu.sampling.frontier import (
     Frontier,
     compact_by_mask,
     compact_candidates,
+    dense_candidates,
     frontier_gather,
     frontier_seed_broadcast,
     frontier_segment_sum,
@@ -165,6 +166,8 @@ def _importance_node_prob(
     prob = jnp.sqrt(
         masked_segment_sum(r * r, cand.src_cpos, c_cap, frontier.e_mask)
     )
+    if cand.mask is None:  # dense mode: support of the scatter IS the mask
+        return prob
     return jnp.where(cand.mask, prob, 0.0)
 
 
@@ -173,7 +176,10 @@ def _uniform_node_prob(frontier: Frontier, cand: Candidates) -> jax.Array:
     (bandit_sampler.py:77-81, ladies_sampler.py:49-51)."""
     c_cap = cand.gids.shape[0]
     out_deg = segment_count(cand.src_cpos, c_cap, frontier.e_mask)
-    return jnp.where(cand.mask & (out_deg > 0), 1.0, 0.0)
+    member = out_deg > 0
+    if cand.mask is not None:
+        member &= cand.mask
+    return jnp.where(member, 1.0, 0.0)
 
 
 def _poisson_scale(
@@ -266,6 +272,7 @@ def _build_block(
     extra_cap: int,
     e_blk_cap: int,
     debias: str,  # 'ladies' | 'bandit' | 'none'
+    alpha_w: Optional[jax.Array] = None,  # [e_cap] static graph weight w_e
 ) -> Tuple[Block, Dict[str, jax.Array]]:
     """Assemble the padded MFG: src table (seeds first), kept edges, debiased
     weights.
@@ -276,6 +283,10 @@ def _build_block(
     seeds.  W-tilde = W / P[src], then scaled per dst by d (ladies,
     ladies_sampler.py:97) or d / sum(W-tilde) (bandit, bandit_sampler.py:320),
     with d the kept-edge in-degree.
+
+    All per-kept-edge takes of frontier-indexed arrays route through the
+    Pallas LUT gather (2.3 ns/elem vs 6-29 ns for XLA scalar gathers — the
+    previously dominant sampling cost at Reddit-scale frontiers).
     """
     n_seed_cap = seeds.shape[0]
     c_cap = cand.gids.shape[0]
@@ -307,21 +318,28 @@ def _build_block(
     keep = frontier.e_mask & maybe_lut_gather(sel, cand.src_cpos)
     eidx, e_mask_b, n_kept = compact_by_mask(keep, e_blk_cap)
 
-    e_src_cpos = jnp.take(cand.src_cpos, eidx)
-    e_src = jnp.where(e_mask_b, jnp.take(pos_c, e_src_cpos), 0)
-    e_dst = jnp.where(e_mask_b, jnp.take(frontier.dst_spos, eidx), 0)
-    eid = jnp.where(e_mask_b, jnp.take(frontier.eid, eidx), 0)
-    w = jnp.where(e_mask_b, jnp.take(edge_w, eidx).astype(jnp.float32), 0.0)
+    e_src_cpos = maybe_lut_gather(cand.src_cpos, eidx)
+    e_src = jnp.where(e_mask_b, maybe_lut_gather(pos_c, e_src_cpos), 0)
+    e_dst = jnp.where(e_mask_b, maybe_lut_gather(frontier.dst_spos, eidx), 0)
+    eid = jnp.where(e_mask_b, maybe_lut_gather(frontier.eid, eidx), 0)
+    w = jnp.where(
+        e_mask_b, maybe_lut_gather(edge_w, eidx).astype(jnp.float32), 0.0
+    )
+    if alpha_w is None:
+        alpha_w = edge_w
+    e_alpha = jnp.where(
+        e_mask_b, maybe_lut_gather(alpha_w, eidx).astype(jnp.float32), 0.0
+    )
 
-    p_src_edge = jnp.take(node_prob, e_src_cpos).astype(jnp.float32)
+    p_src_edge = maybe_lut_gather(node_prob, e_src_cpos).astype(jnp.float32)
     wt = jnp.where(p_src_edge > 0, w / jnp.where(p_src_edge > 0, p_src_edge, 1.0), 0.0)
     d = segment_count(e_dst, n_seed_cap, e_mask_b).astype(jnp.float32)
     if debias == "ladies":
-        wt = wt * jnp.take(d, e_dst)
+        wt = wt * maybe_lut_gather(d, e_dst)
     elif debias == "bandit":
         wt_sum = masked_segment_sum(wt, e_dst, n_seed_cap, e_mask_b)
         scale = jnp.where(wt_sum > 0, d / jnp.where(wt_sum > 0, wt_sum, 1.0), 0.0)
-        wt = wt * jnp.take(scale, e_dst)
+        wt = wt * maybe_lut_gather(scale, e_dst)
     wt = jnp.where(e_mask_b, wt, 0.0)
 
     # per-src-slot node prob (block.srcdata['node_prob'], bandit_sampler.py:328)
@@ -344,6 +362,7 @@ def _build_block(
         e_weight=wt,
         e_q=jnp.where(e_mask_b, w, 0.0),
         src_node_prob=src_node_prob,
+        e_alpha=e_alpha,
         n_dst_cap=n_seed_cap,
     )
     stats = {
@@ -375,21 +394,35 @@ def _sample_layer_ladies(
         graph.csc_indptr, graph.csc_src, seeds, seeds_mask,
         plan.frontier_caps[layer],
     )
-    cand = compact_candidates(
-        seeds, seeds_mask, frontier, plan.cand_caps[layer], graph.n_nodes
-    )
+    dense = (
+        bool(plan.dense_cands[layer])
+        if plan.dense_cands
+        else False
+    ) and plan.cand_caps[layer] > graph.n_nodes  # dense needs a dump slot
+    if dense:
+        cand = dense_candidates(
+            seeds, seeds_mask, frontier, plan.cand_caps[layer], graph.n_nodes
+        )
+    else:
+        cand = compact_candidates(
+            seeds, seeds_mask, frontier, plan.cand_caps[layer], graph.n_nodes
+        )
 
+    # static normalized graph weight per frontier slot — a chunked row take.
+    # Non-bandit samplers sample BY it; the bandit needs it only as the EXP3
+    # alpha (bandit_sampler.py:144-147), carried into the block as e_alpha.
+    w_static = jnp.where(
+        frontier.e_mask,
+        frontier_gather(frontier, graph.edata["w"]).astype(jnp.float32),
+        0.0,
+    )
     if cfg.is_bandit:
         edge_w = _exp3_edge_prob(
             graph, exp3_weights[layer], cfg.eta, frontier, seeds, n_seed_cap
         )
         normalize_per_dst = True
     else:
-        edge_w = jnp.where(
-            frontier.e_mask,
-            frontier_gather(frontier, graph.edata["w"]).astype(jnp.float32),
-            0.0,
-        )
+        edge_w = w_static
         normalize_per_dst = False
 
     if cfg.importance_sampling:
@@ -398,6 +431,13 @@ def _sample_layer_ladies(
         )
     else:
         prob = _uniform_node_prob(frontier, cand)
+
+    if cand.mask is None:  # dense mode: membership == positive probability
+        mask = (prob > 0) | cand.is_seed
+        cand = cand._replace(
+            mask=mask, n=jnp.sum(mask.astype(jnp.int32))
+        )
+        prob = jnp.where(mask, prob, 0.0)
 
     if cfg.is_poisson:
         p = _poisson_scale(prob, cand, num, cfg.poisson_eps, cfg.poisson_iters)
@@ -412,6 +452,7 @@ def _sample_layer_ladies(
         extra_cap=plan.extra_caps[layer],
         e_blk_cap=plan.block_e_caps[layer],
         debias="bandit" if cfg.is_bandit else "ladies",
+        alpha_w=w_static,
     )
     stats = {
         "frontier_edges": frontier.total_edges,
@@ -555,12 +596,15 @@ def _calculate_alpha(
     """STEP_05 (bandit_sampler.py:140-158).
 
     sage/gcn: alpha = the static normalized graph weight w_e (the block's
-    edata['w'], which DGL carries through every subgraph op — here gathered
-    fresh by global eid).
+    edata['w'], which DGL carries through every subgraph op — here the
+    block's ``e_alpha``, gathered at frontier level instead of a per-edge
+    scalar gather from the [E] global array).
     gat: alpha = (a_ij / sum_dst a_ij) * sum_dst q_ij with nan_to_num on the
     attention ratio (reference divides by the *dst* sum, :152 — the '[!] _u?'
     comment notwithstanding).
     """
+    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
+
     if cfg.model == "gat":
         assert a_ij is not None, "GAT reward needs per-edge attention a_ij"
         q = block.e_q
@@ -568,9 +612,11 @@ def _calculate_alpha(
         q_sum = masked_segment_sum(q, block.e_dst, n, block.e_mask)
         a = a_ij.astype(jnp.float32)
         a_sum = masked_segment_sum(a, block.e_dst, n, block.e_mask)
-        ratio = a / jnp.take(a_sum, block.e_dst)
+        ratio = a / maybe_lut_gather(a_sum, block.e_dst)
         ratio = jnp.nan_to_num(ratio)  # torch.nan_to_num defaults
-        alpha = ratio * jnp.take(q_sum, block.e_dst)
+        alpha = ratio * maybe_lut_gather(q_sum, block.e_dst)
+    elif block.e_alpha is not None:
+        alpha = block.e_alpha
     else:
         alpha = jnp.take(graph.edata["w"], block.eid).astype(jnp.float32)
     return jnp.where(block.e_mask, alpha, 0.0)
@@ -586,7 +632,7 @@ def _calculate_rewards(
     from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
 
     k_i = block.in_degrees().astype(jnp.float32)
-    a_div_k = (alpha * alpha) / jnp.take(k_i, block.e_dst)
+    a_div_k = (alpha * alpha) / maybe_lut_gather(k_i, block.e_dst)
     a_div_k = jnp.nan_to_num(a_div_k, posinf=0.0)  # :187
     h = maybe_lut_gather(embed_norm.astype(jnp.float32), block.e_src)
     q = block.e_q
@@ -600,14 +646,24 @@ def _edge_delta(
 ) -> jax.Array:
     """The clipped EXP3 exponent per kept edge:
     dr_e = min(delta * (r_e / P_src) / n_i, 1)  (bandit_sampler.py:236-246).
-    Masked edges carry 0 (multiplier 1)."""
-    p_src = jnp.take(block.src_node_prob, block.e_src)
+    Masked edges carry 0 (multiplier 1).
+
+    n_i (the dst's full-graph in-degree) is built as a [n_dst_cap] per-seed
+    vector first and broadcast to edges through the LUT gather — two small
+    indptr takes instead of two e_cap-sized scalar gathers from the [N+1]
+    offsets array."""
+    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
+
+    p_src = maybe_lut_gather(block.src_node_prob, block.e_src)
     r_hat = rewards / jnp.where(p_src > 0, p_src, 1.0)
-    dst_gid = jnp.take(block.dst_gids, jnp.clip(block.e_dst, 0, block.n_dst_cap - 1))
-    n_i = (
-        jnp.take(graph.csc_indptr, dst_gid + 1)
-        - jnp.take(graph.csc_indptr, dst_gid)
+    safe_dst = jnp.where(block.dst_mask, block.dst_gids, 0)
+    n_i_seed = (
+        jnp.take(graph.csc_indptr, safe_dst + 1)
+        - jnp.take(graph.csc_indptr, safe_dst)
     ).astype(jnp.float32)
+    n_i = maybe_lut_gather(
+        n_i_seed, jnp.clip(block.e_dst, 0, block.n_dst_cap - 1)
+    )
     dr = r_hat * (cfg.exp3_delta / jnp.maximum(n_i, 1.0))
     dr = jnp.minimum(dr, 1.0)  # delta_reward[delta_reward > 1] = 1
     return jnp.where(block.e_mask, dr, 0.0)
@@ -637,22 +693,45 @@ def exp3_edge_deltas(
 def apply_exp3_deltas(
     exp3_weights: jax.Array,
     deltas: Sequence[Tuple[jax.Array, jax.Array]],
+    normalize: bool = True,
 ) -> jax.Array:
     """w[eid] *= exp(dr), then L1-normalize each row
     (bandit_sampler.py:248-249).  Scatter-multiply runs in the state dtype
     (no full-row f32 materialization — only the touched gather, one
     f32-accumulated row sum, and one scaled write); duplicate eids (e.g.
     the same edge updated by several data-parallel shards) compose
-    multiplicatively, as scatter-mul applies every update."""
+    multiplicatively, as scatter-mul applies every update.
+
+    ``normalize=False`` defers the L1 normalization: every consumer of the
+    arm weights renormalizes per dst (exp3_probabilities divides by the
+    per-dst sum, bandit_sampler.py:129-131), so the row normalization is
+    numeric hygiene only.  The fused train step skips it (its full-row
+    sums + rescale were measured ~20 ms/step at Reddit's 115M edges) and
+    the Trainer renormalizes every ``exp3_renorm_every`` steps (default
+    64) — each touched weight grows by at most exp(1) per step (the update
+    exponent is clipped at 1), so bf16 overflow (3.4e38 ~= e^88.7) needs
+    ~89 consecutive unnormalized steps from a weight already at 1."""
     rows = []
     for idx, (eid, dr) in enumerate(deltas):
         row = exp3_weights[idx]
         mult = jnp.exp(dr).astype(row.dtype)
         row = row.at[eid.reshape(-1)].multiply(mult.reshape(-1))
-        norm = jnp.sum(row, dtype=jnp.float32)  # weights are positive
-        inv = (1.0 / jnp.maximum(norm, 1e-12)).astype(row.dtype)
-        rows.append(row * inv)
+        if normalize:
+            norm = jnp.sum(row, dtype=jnp.float32)  # weights are positive
+            inv = (1.0 / jnp.maximum(norm, 1e-12)).astype(row.dtype)
+            row = row * inv
+        rows.append(row)
     return jnp.stack(rows)
+
+
+def normalize_exp3_weights(exp3_weights: jax.Array) -> jax.Array:
+    """L1-normalize every layer row (bandit_sampler.py:249) — the deferred
+    half of apply_exp3_deltas(normalize=False)."""
+    norm = jnp.sum(
+        exp3_weights, axis=-1, keepdims=True, dtype=jnp.float32
+    )
+    inv = (1.0 / jnp.maximum(norm, 1e-12)).astype(exp3_weights.dtype)
+    return exp3_weights * inv
 
 
 def exp3_update(
@@ -662,10 +741,12 @@ def exp3_update(
     blocks: Sequence[Block],
     embed_norms: Sequence[jax.Array],
     a_ijs: Optional[Sequence[Optional[jax.Array]]] = None,
+    normalize: bool = True,
 ) -> jax.Array:
     """The post-backward bandit loop (bandit_sampler.py:251-267, driven from
     BatchSizeCallback.on_train_batch_end, train_lightning.py:463-471):
     per block — alpha, rewards, arm-weight update.  Pure function of the
-    state; fuse into the train step."""
+    state; fuse into the train step.  See apply_exp3_deltas for the
+    deferred-normalization contract."""
     deltas = exp3_edge_deltas(graph, cfg, blocks, embed_norms, a_ijs)
-    return apply_exp3_deltas(exp3_weights, deltas)
+    return apply_exp3_deltas(exp3_weights, deltas, normalize=normalize)

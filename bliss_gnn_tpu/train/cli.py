@@ -78,6 +78,8 @@ def build_argparser() -> argparse.ArgumentParser:
     # surfaced constants
     p.add_argument("--ema-w", type=float, default=0.99)
     p.add_argument("--exp3-delta", type=float, default=0.01)
+    p.add_argument("--exp3-renorm-every", type=int, default=64,
+                   help="steps between deferred EXP3 L1 row normalizations (1 = reference's normalize-every-step)")
     p.add_argument("--poisson-eps", type=float, default=0.9999)
     p.add_argument("--lr-gamma", type=float, default=0.01)
     p.add_argument("--lr-step-size", type=int, default=5)
@@ -124,6 +126,7 @@ def config_from_args(args) -> "TrainConfig":
         seed=args.seed,
         ema_w=args.ema_w,
         exp3_delta=args.exp3_delta,
+        exp3_renorm_every=args.exp3_renorm_every,
         poisson_eps=args.poisson_eps,
         lr_gamma=args.lr_gamma,
         lr_step_size=args.lr_step_size,

@@ -197,9 +197,12 @@ def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if sampler_cfg.is_bandit:
+            # normalize=False: consumers renormalize per dst, so the L1 row
+            # normalization is deferred to the Trainer's periodic
+            # renormalize (exp3_renorm_every) — see apply_exp3_deltas
             exp3 = exp3_update(
                 graph, sampler_cfg, state.exp3_weights, blocks,
-                aux["embed_norms"], aux["a_ijs"],
+                aux["embed_norms"], aux["a_ijs"], normalize=False,
             )
         else:
             exp3 = state.exp3_weights
@@ -266,9 +269,12 @@ def make_uva_steps(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if sampler_cfg.is_bandit:
+            # normalize=False: consumers renormalize per dst, so the L1 row
+            # normalization is deferred to the Trainer's periodic
+            # renormalize (exp3_renorm_every) — see apply_exp3_deltas
             exp3 = exp3_update(
                 graph, sampler_cfg, state.exp3_weights, blocks,
-                aux["embed_norms"], aux["a_ijs"],
+                aux["embed_norms"], aux["a_ijs"], normalize=False,
             )
         else:
             exp3 = state.exp3_weights

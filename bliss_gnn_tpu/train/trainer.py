@@ -34,6 +34,7 @@ from bliss_gnn_tpu.sampling.block import CapacityPlan
 from bliss_gnn_tpu.sampling.samplers import (
     SamplerConfig,
     init_exp3_weights,
+    normalize_exp3_weights,
     sample_blocks,
 )
 from bliss_gnn_tpu.train.metrics import (
@@ -90,6 +91,11 @@ class TrainConfig:
     # surfaced constants
     ema_w: float = 0.99
     exp3_delta: float = 0.01
+    # the fused step defers the EXP3 L1 row normalization (consumers
+    # renormalize per dst; see samplers.apply_exp3_deltas) — renormalize
+    # the state every this many steps for bf16 hygiene.  1 reproduces the
+    # reference's normalize-every-step exactly.
+    exp3_renorm_every: int = 64
     poisson_eps: float = 0.9999
     lr_gamma: float = 0.01
     lr_step_size: int = 5
@@ -199,6 +205,8 @@ class Trainer:
         self.global_step = 0
         self._stop = False
         self._epochs_since_improve = 0
+        self._steps_since_renorm = 0
+        self._renorm_fn = jax.jit(normalize_exp3_weights, donate_argnums=0)
 
     # -- static-shape (re)build -----------------------------------------
     def _build_for_batch_size(self, batch_size: int, init_state: bool):
@@ -380,6 +388,7 @@ class Trainer:
                     prev_t = time.time()
                     self.welford.push(float(metrics["num_nodes/0"]))
                     b += 1
+                self._maybe_renorm_exp3()
                 if self.global_step >= max_steps:
                     break
             epoch += 1
@@ -443,7 +452,27 @@ class Trainer:
         self.logger.log(self.global_step, {"val_acc": val_acc, "val_loss": val_loss})
         return val_acc
 
+    def _maybe_renorm_exp3(self, force: bool = False):
+        """Deferred EXP3 L1 row normalization (the fused step runs with
+        normalize=False; see samplers.apply_exp3_deltas).  Runs every
+        exp3_renorm_every steps, and always before checkpoints/eval so
+        persisted state matches the reference's normalized convention."""
+        if self.state.exp3_weights is None:
+            return
+        self._steps_since_renorm = self.global_step - getattr(
+            self, "_last_renorm_step", 0
+        )
+        if force or self._steps_since_renorm >= max(
+            1, self.cfg.exp3_renorm_every
+        ):
+            self.state = dataclasses.replace(
+                self.state,
+                exp3_weights=self._renorm_fn(self.state.exp3_weights),
+            )
+            self._last_renorm_step = self.global_step
+
     def _maybe_checkpoint(self, val_acc: float):
+        self._maybe_renorm_exp3(force=True)
         if math.isnan(val_acc):
             self.best_state = jax.device_get(self.state)
             return

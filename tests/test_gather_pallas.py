@@ -1,0 +1,43 @@
+"""LUT-gather kernel unit tests (interpret mode on CPU).
+
+The TPU-path numbers live in scripts/probe_gather.py; here we verify the
+kernel math — including int32 exactness above 2^24, which the previous
+f32-only kernel could not represent (global edge ids at Reddit scale are
+~1.15e8 > 2^24).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from bliss_gnn_tpu.ops.gather_pallas import lut_gather
+
+
+def test_lut_gather_f32_interpret():
+    rng = np.random.default_rng(0)
+    lut = rng.normal(size=5000).astype(np.float32)
+    idx = rng.integers(0, 5000, size=3000).astype(np.int32)
+    out = lut_gather(jnp.asarray(lut), jnp.asarray(idx), interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), lut[idx])
+
+
+def test_lut_gather_i32_exact_above_2_24():
+    rng = np.random.default_rng(1)
+    # values far above the f32 integer-exact range
+    lut = rng.integers(0, 2**31 - 1, size=4000).astype(np.int32)
+    idx = rng.integers(0, 4000, size=2500).astype(np.int32)
+    out = lut_gather(
+        jnp.asarray(lut), jnp.asarray(idx), interpret=True,
+        elem_dtype=jnp.int32,
+    )
+    assert out.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(out), lut[idx])
+
+
+def test_lut_gather_nonmultiple_tile_sizes():
+    rng = np.random.default_rng(2)
+    lut = rng.integers(-100, 100, size=130).astype(np.int32)  # 2 rows + tail
+    idx = rng.integers(0, 130, size=2049).astype(np.int32)  # 1 tile + 1
+    out = lut_gather(
+        jnp.asarray(lut), jnp.asarray(idx), interpret=True,
+        elem_dtype=jnp.int32,
+    )
+    np.testing.assert_array_equal(np.asarray(out), lut[idx])

@@ -18,11 +18,13 @@ from bliss_gnn_tpu.sampling.samplers import (
 KINDS = ["ladies", "poisson-ladies", "bandit", "poisson-bandit", "neighbor", "full"]
 
 
-def _sample(g, kind, fanouts, batch, key=0, eta=0.1, exp3=None, slack=16.0):
+def _sample(g, kind, fanouts, batch, key=0, eta=0.1, exp3=None, slack=16.0,
+            dense=None):
     dg = g.to_device()
     cfg = SamplerConfig(kind=kind, fanouts=tuple(fanouts), eta=eta)
     plan = CapacityPlan.build(
-        batch, fanouts, g.n_nodes, g.n_edges, kind=kind, frontier_slack=slack
+        batch, fanouts, g.n_nodes, g.n_edges, kind=kind, frontier_slack=slack,
+        dense_candidates=dense,
     )
     if exp3 is None and cfg.is_bandit:
         exp3 = init_exp3_weights(len(fanouts), g.n_edges)
@@ -34,10 +36,11 @@ def _sample(g, kind, fanouts, batch, key=0, eta=0.1, exp3=None, slack=16.0):
     return blocks, stats, dg, cfg, plan
 
 
+@pytest.mark.parametrize("dense", [None, False])
 @pytest.mark.parametrize("kind", KINDS)
-def test_blocks_well_formed(small_synth, kind):
+def test_blocks_well_formed(small_synth, kind, dense):
     g, _, _ = small_synth
-    blocks, stats, dg, cfg, plan = _sample(g, kind, (16, 8), 4)
+    blocks, stats, dg, cfg, plan = _sample(g, kind, (16, 8), 4, dense=dense)
     seeds = np.arange(4)
     for l, b in enumerate(blocks):
         src_gids = np.asarray(b.src_gids)
@@ -246,6 +249,40 @@ def test_exp3_update_math(toy):
         ref[eid[j]] *= np.exp(dr)
     ref = ref / np.abs(ref).sum()
     np.testing.assert_allclose(new, ref, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["ladies", "poisson-bandit"])
+def test_dense_vs_compact_candidates_equivalent(small_synth, kind):
+    """dense_candidates (position == gid) and compact_candidates (dgl
+    compact_graphs parity) must produce the same blocks when selection is
+    deterministic — huge fanout makes every candidate selected, removing
+    the RNG-slot dependence."""
+    g, _, _ = small_synth
+    fan = (4 * g.n_nodes,)
+    b_dense, s_dense, *_ = _sample(g, kind, fan, 6, key=3, dense=True)
+    b_comp, s_comp, *_ = _sample(g, kind, fan, 6, key=3, dense=False)
+    assert int(s_dense["layer0/n_candidates"]) == int(
+        s_comp["layer0/n_candidates"]
+    )
+    for bd, bc in zip(b_dense, b_comp):
+        md, mc = np.asarray(bd.e_mask), np.asarray(bc.e_mask)
+        ed = np.asarray(bd.eid)[md]
+        ec = np.asarray(bc.eid)[mc]
+        od, oc = np.argsort(ed), np.argsort(ec)
+        np.testing.assert_array_equal(ed[od], ec[oc])
+        np.testing.assert_allclose(
+            np.asarray(bd.e_weight)[md][od],
+            np.asarray(bc.e_weight)[mc][oc], rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(bd.e_q)[md][od],
+            np.asarray(bc.e_q)[mc][oc], rtol=1e-5,
+        )
+        # same src-node sets
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(bd.src_gids)[np.asarray(bd.src_mask)]),
+            np.sort(np.asarray(bc.src_gids)[np.asarray(bc.src_mask)]),
+        )
 
 
 def test_sampling_deterministic_per_key(small_synth):
