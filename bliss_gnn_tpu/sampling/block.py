@@ -188,7 +188,13 @@ class CapacityPlan:
             frontier_caps[l] = fcap
 
             if layerwise:
+                # Poisson selection count is a sum of independent Bernoullis
+                # with mean <= fanout: give it +4*sqrt(fanout) fluctuation
+                # slack (the reference never truncates; top-k kinds select
+                # exactly fanout, no slack needed)
                 extra = fanouts[l]
+                if "poisson" in kind:
+                    extra += _round_up(int(4 * fanouts[l] ** 0.5), align)
                 becap = int(min(fcap, max(
                     (cap + extra) * block_edge_slack * max(1.0, avg_degree) ** 0.5,
                     4 * (cap + extra),
@@ -226,3 +232,60 @@ class CapacityPlan:
 
     def src_cap(self, l: int) -> int:
         return self.dst_caps[l] + self.extra_caps[l]
+
+    def refit(
+        self,
+        frontier_edges: Sequence[int],
+        block_edges: Sequence[int],
+        block_edge_slack: float = 2.0,
+        frontier_slack: float = 1.5,
+        max_degree: int = 0,
+        align: int = 128,
+    ) -> "CapacityPlan":
+        """Tighten capacities from MEASURED per-layer maxima (pilot steps).
+
+        The a-priori formulas in ``build`` must cover the worst case before
+        any step has run; measured, the Reddit config's kept-edge caps are
+        ~12x the true counts — and every sampler gather/scatter AND the
+        model's per-edge segment ops scale with the cap.  Refit keeps the
+        plan sound (never grows a cap, preserves dst/extra/cand shapes so
+        the seed tables and model params are unaffected) and relies on the
+        existing overflow counters + the Trainer's widen-on-overflow
+        escalation for the residual tail.
+
+        ``frontier_edges``/``block_edges``: per-layer maxima of the
+        ``frontier_edges`` / ``n_block_edges_true`` sampler stats.
+        """
+        L = len(self.fanouts)
+        fr = list(self.frontier_caps)
+        be = list(self.block_e_caps)
+        for l in range(L):
+            src_cap = self.dst_caps[l] + self.extra_caps[l]
+            fcap = int(frontier_edges[l] * frontier_slack) + max_degree
+            fcap = max(fcap, 8 * self.dst_caps[l])
+            fr[l] = min(fr[l], _round_up(fcap, align))
+            bcap = int(block_edges[l] * block_edge_slack)
+            bcap = max(bcap, 2 * src_cap)
+            be[l] = min(be[l], _round_up(bcap, align), fr[l])
+        return dataclasses.replace(
+            self, frontier_caps=tuple(fr), block_e_caps=tuple(be)
+        )
+
+    def widen(
+        self,
+        factor: float = 1.5,
+        align: int = 128,
+        frontier: bool = False,
+    ) -> "CapacityPlan":
+        """Escalate after post-refit overflow: grow the block-edge caps (and
+        optionally the frontier caps) by ``factor``."""
+        fr = (
+            tuple(_round_up(int(c * factor), align) for c in self.frontier_caps)
+            if frontier
+            else self.frontier_caps
+        )
+        be = tuple(
+            min(_round_up(int(c * factor), align), f)
+            for c, f in zip(self.block_e_caps, fr)
+        )
+        return dataclasses.replace(self, frontier_caps=fr, block_e_caps=be)

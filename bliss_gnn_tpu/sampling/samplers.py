@@ -369,6 +369,10 @@ def _build_block(
         "n_extra": n_extra,
         "n_block_edges_true": jnp.sum(keep.astype(jnp.int32)),
         "n_block_edges": n_kept,
+        # truncation beyond the static caps (0 in a healthy plan; the
+        # Trainer widens the plan when these fire post-refit)
+        "block_edge_overflow": jnp.maximum(n_kept - e_blk_cap, 0),
+        "extra_overflow": jnp.maximum(n_extra - extra_cap, 0),
     }
     return block, stats
 

@@ -87,6 +87,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--frontier-slack", type=float, default=8.0)
     p.add_argument("--block-edge-slack", type=float, default=4.0)
     p.add_argument("--max-frontier-edges", type=int, default=-1)
+    p.add_argument("--refit-after", type=int, default=3,
+                   help="steps before tightening the static capacities to "
+                        "measured maxima and re-jitting (0 disables)")
+    p.add_argument("--refit-block-edge-slack", type=float, default=2.0)
+    p.add_argument("--refit-frontier-slack", type=float, default=1.5)
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace of N training steps")
     p.add_argument("--steps-per-call", type=int, default=1,
@@ -135,6 +140,9 @@ def config_from_args(args) -> "TrainConfig":
         max_frontier_edges=(
             None if args.max_frontier_edges <= 0 else args.max_frontier_edges
         ),
+        refit_after=args.refit_after,
+        refit_block_edge_slack=args.refit_block_edge_slack,
+        refit_frontier_slack=args.refit_frontier_slack,
         profile_steps=args.profile_steps,
         use_uva=args.use_uva,
         cache_size=args.cache_size,

@@ -211,7 +211,14 @@ def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel):
             "train_loss": loss,
             "f1": f1,
             **_block_count_metrics(blocks),
-            **{k: v for k, v in samp_stats.items() if "overflow" in k},
+            # overflow counters + the measured sizes the capacity refit needs
+            **{
+                k: v
+                for k, v in samp_stats.items()
+                if "overflow" in k
+                or "frontier_edges" in k
+                or "n_block_edges_true" in k
+            },
         }
         new_state = TrainState(
             params=params, opt_state=opt_state, exp3_weights=exp3,

@@ -103,6 +103,16 @@ class TrainConfig:
     frontier_slack: float = 8.0
     block_edge_slack: float = 4.0
     max_frontier_edges: Optional[int] = None
+    # capacity refit: after this many measured steps, tighten the static
+    # frontier/kept-edge capacities to measured-maxima * refit slack and
+    # re-jit (CapacityPlan.refit).  The a-priori caps must cover the worst
+    # case cold; measured, they run ~an order of magnitude above the true
+    # counts on large-fanout configs — and every per-edge op in the sampler
+    # AND the model scales with the cap.  0 disables.  Post-refit overflow
+    # widens the plan back out (CapacityPlan.widen).
+    refit_after: int = 3
+    refit_block_edge_slack: float = 2.0
+    refit_frontier_slack: float = 1.5
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
@@ -214,13 +224,20 @@ class Trainer:
         g = self.host_graph
         self.batch_size = batch_size
         indeg = g.in_degrees()
+        self._max_degree = int(indeg.max())
         self.plan = CapacityPlan.build(
             batch_size, self.sampler_cfg.fanouts, g.n_nodes, g.n_edges,
             kind=cfg.sampler, frontier_slack=cfg.frontier_slack,
             block_edge_slack=cfg.block_edge_slack,
             max_frontier_edges=cfg.max_frontier_edges,
-            deg_std=float(indeg.std()), max_degree=int(indeg.max()),
+            deg_std=float(indeg.std()), max_degree=self._max_degree,
         )
+        # capacity-refit bookkeeping (reset whenever the plan is rebuilt
+        # from the formula, e.g. on a batch-size change)
+        self._refit_done = False
+        self._refit_max: Dict[str, float] = {}
+        self._overflow_after_refit = False
+        self._frontier_overflow_after_refit = False
         self.tx = make_optimizer(
             cfg.lr, self.steps_per_epoch, cfg.lr_gamma, cfg.lr_step_size
         )
@@ -244,6 +261,12 @@ class Trainer:
                 key=key,
                 step=jnp.zeros((), jnp.int32),
             )
+        self._rebuild_steps()
+
+    def _rebuild_steps(self):
+        """(Re-)jit the step functions for the current ``self.plan`` —
+        called at build time and again after a capacity refit/widen."""
+        cfg = self.cfg
         if self.feature_cache is not None:
             from bliss_gnn_tpu.train.steps import make_uva_steps
 
@@ -255,6 +278,7 @@ class Trainer:
             )
             self.train_step = self._uva_train_step
             self.eval_step = self._uva_eval_step
+            self.multi_step = None
         else:
             self.train_step = make_train_step(
                 self.graph, self.model, self.tx, self.sampler_cfg, self.plan,
@@ -389,6 +413,7 @@ class Trainer:
                     self.welford.push(float(metrics["num_nodes/0"]))
                     b += 1
                 self._maybe_renorm_exp3()
+                self._maybe_capacity_refit()
                 if self.global_step >= max_steps:
                     break
             epoch += 1
@@ -422,9 +447,59 @@ class Trainer:
         for k, v in metrics.items():
             if "overflow" in k and float(v) > 0:
                 scalars[k] = float(v)
+                # widen only for caps widen() can actually grow — extra
+                # overflow is a Poisson-count fluctuation, not refit-caused
+                if self._refit_done and (
+                    "frontier_overflow" in k or "block_edge_overflow" in k
+                ):
+                    self._overflow_after_refit = True
+                    if "frontier_overflow" in k:
+                        self._frontier_overflow_after_refit = True
+            elif "frontier_edges" in k or "n_block_edges_true" in k:
+                self._refit_max[k] = max(
+                    self._refit_max.get(k, 0.0), float(v)
+                )
         if "cache_miss" in metrics:
             scalars["cache_miss"] = float(metrics["cache_miss"])
         self.logger.log(self.global_step, scalars)
+
+    def _maybe_capacity_refit(self):
+        """Tighten the plan to measured maxima after ``refit_after`` steps;
+        widen it back out if a tightened cap overflows later."""
+        cfg = self.cfg
+        if cfg.refit_after <= 0:
+            return
+        L = cfg.num_layers
+        if not self._refit_done:
+            if self.global_step < cfg.refit_after:
+                return
+            fr = [
+                int(self._refit_max.get(f"layer{l}/frontier_edges", 0))
+                for l in range(L)
+            ]
+            be = [
+                int(self._refit_max.get(f"layer{l}/n_block_edges_true", 0))
+                for l in range(L)
+            ]
+            self._refit_done = True
+            if min(fr) <= 0 or min(be) <= 0:
+                return
+            new = self.plan.refit(
+                fr, be,
+                block_edge_slack=cfg.refit_block_edge_slack,
+                frontier_slack=cfg.refit_frontier_slack,
+                max_degree=self._max_degree,
+            )
+            if new != self.plan:
+                self.plan = new
+                self._rebuild_steps()
+        elif self._overflow_after_refit:
+            self.plan = self.plan.widen(
+                1.5, frontier=self._frontier_overflow_after_refit
+            )
+            self._overflow_after_refit = False
+            self._frontier_overflow_after_refit = False
+            self._rebuild_steps()
 
     def _validate(self, epoch: int) -> float:
         if len(self.val_nid) == 0:

@@ -133,3 +133,41 @@ ovf = {k: int(v) for k, v in metrics.items() if "overflow" in k}
 log(f"full train step: {min(ts)*1e3:.0f} ms "
     f"(loss {float(metrics['train_loss']):.3f}, "
     f"edges l0 {int(metrics['num_edges/0'])}, overflow {ovf})")
+
+# --- capacity refit: tighten to measured maxima and re-time -------------
+_, sstats = out if isinstance(out, tuple) else (None, None)
+exp3_live = state.exp3_weights  # `exp3` was donated into the step
+blocks_s, sstats = samp(jax.random.PRNGKey(9), seeds, smask, graph, exp3_live)
+fr = [int(sstats[f"layer{l}/frontier_edges"]) for l in range(3)]
+be = [int(sstats[f"layer{l}/n_block_edges_true"]) for l in range(3)]
+tight = plan.refit(fr, be, max_degree=int(deg.max()))
+log(f"refit: frontier {plan.frontier_caps} -> {tight.frontier_caps}")
+log(f"refit: block_e  {plan.block_e_caps} -> {tight.block_e_caps}")
+
+samp_t = jax.jit(lambda k, s, m, g, e: jax.tree.map(
+    lambda x: x, sample_blocks(g, cfg, tight, k, s, m, e)))
+out_t = samp_t(jax.random.PRNGKey(1), seeds, smask, graph, exp3_live)
+jax.block_until_ready(out_t)
+log("refit sample compiled")
+ts = []
+for i in range(3):
+    t0 = time.perf_counter()
+    out_t = samp_t(jax.random.PRNGKey(i), seeds, smask, graph, exp3_live)
+    float(out_t[0][0].e_weight[0])
+    ts.append(time.perf_counter() - t0 - 0.033)
+log(f"refit sample_blocks: {min(ts)*1e3:.0f} ms")
+
+del exp3_live
+step_t = make_train_step(graph, model, tx, cfg, tight, False)
+state, metrics = step_t(state, seeds, smask, graph)
+float(metrics["train_loss"])
+log("refit step compiled")
+ts = []
+for i in range(3):
+    t0 = time.perf_counter()
+    state, metrics = step_t(state, seeds, smask, graph)
+    float(metrics["train_loss"])
+    ts.append(time.perf_counter() - t0 - 0.033)
+ovf = {k: int(v) for k, v in metrics.items() if "overflow" in k and int(v)}
+log(f"refit full train step: {min(ts)*1e3:.0f} ms "
+    f"(loss {float(metrics['train_loss']):.3f}, overflow {ovf or 'none'})")

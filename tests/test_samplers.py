@@ -343,3 +343,60 @@ def test_overflow_truncates_gracefully(small_synth):
 def dataclasses_replace(plan, **kw):
     import dataclasses
     return dataclasses.replace(plan, **kw)
+
+
+def test_capacity_refit_preserves_sampling(small_synth):
+    """Refit to measured maxima must not change WHAT gets sampled — only
+    the static padding.  The kept-edge order (seed position, eid) is
+    capacity-invariant, so the refit blocks are a prefix of the originals."""
+    g, _, _ = small_synth
+    blocks, stats, dg, cfg, plan = _sample(g, "poisson-bandit", (16, 8), 4,
+                                           key=5)
+    L = len(cfg.fanouts)
+    fr = [int(stats[f"layer{l}/frontier_edges"]) for l in range(L)]
+    be = [int(stats[f"layer{l}/n_block_edges_true"]) for l in range(L)]
+    tight = plan.refit(fr, be)
+    for l in range(L):
+        assert tight.frontier_caps[l] <= plan.frontier_caps[l]
+        assert tight.block_e_caps[l] <= plan.block_e_caps[l]
+        assert tight.block_e_caps[l] >= be[l]
+        # shapes the model params depend on are untouched
+        assert tight.dst_caps[l] == plan.dst_caps[l]
+        assert tight.extra_caps[l] == plan.extra_caps[l]
+        assert tight.cand_caps[l] == plan.cand_caps[l]
+    exp3 = init_exp3_weights(L, g.n_edges)
+    seeds = jnp.arange(4, dtype=jnp.int32)
+    smask = jnp.ones(4, bool)
+    blocks2, stats2 = sample_blocks(
+        dg, cfg, tight, jax.random.PRNGKey(5), seeds, smask, exp3
+    )
+    for b1, b2 in zip(blocks, blocks2):
+        np.testing.assert_array_equal(
+            np.asarray(b1.src_gids), np.asarray(b2.src_gids))
+        np.testing.assert_array_equal(
+            np.asarray(b1.src_mask), np.asarray(b2.src_mask))
+        k = b2.e_cap
+        np.testing.assert_array_equal(
+            np.asarray(b1.e_mask)[:k], np.asarray(b2.e_mask))
+        m = np.asarray(b2.e_mask)
+        for f in ("e_src", "e_dst", "eid"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(b1, f))[:k][m],
+                np.asarray(getattr(b2, f))[m], err_msg=f)
+        np.testing.assert_allclose(
+            np.asarray(b1.e_weight)[:k][m], np.asarray(b2.e_weight)[m],
+            rtol=1e-6)
+
+
+def test_capacity_widen_grows_block_caps(small_synth):
+    g, _, _ = small_synth
+    plan = CapacityPlan.build(4, (16, 8), g.n_nodes, g.n_edges,
+                              kind="poisson-bandit")
+    tight = plan.refit([100, 100], [10, 10])
+    wide = tight.widen(1.5)
+    for l in range(2):
+        assert wide.block_e_caps[l] >= tight.block_e_caps[l]
+        assert wide.block_e_caps[l] <= wide.frontier_caps[l]
+        assert wide.frontier_caps[l] == tight.frontier_caps[l]
+    wide2 = tight.widen(2.0, frontier=True)
+    assert all(a >= b for a, b in zip(wide2.frontier_caps, tight.frontier_caps))

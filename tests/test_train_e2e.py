@@ -82,3 +82,14 @@ def test_profile_trace_capture(tmp_path):
     tr.fit()
     prof = os.path.join(tr.run_dir, "profile")
     assert os.path.isdir(prof) and len(os.listdir(prof)) > 0
+
+
+def test_capacity_refit_tightens_and_training_still_learns(tmp_path):
+    tr = _mk(tmp_path, refit_after=2, num_epochs=6)
+    formula_caps = tr.plan.block_e_caps
+    tr.fit()
+    assert tr._refit_done
+    assert all(a <= b for a, b in zip(tr.plan.block_e_caps, formula_caps))
+    assert any(a < b for a, b in zip(tr.plan.block_e_caps, formula_caps))
+    res = tr.final_eval()
+    assert res["Train"] > 0.55, res
