@@ -75,6 +75,18 @@ blocks, _ = jax.jit(
 seeds0 = blocks[1].src_gids
 smask0 = blocks[1].src_mask
 jax.block_until_ready(seeds0)
+if os.environ.get("BLISS_REFIT"):
+    _, sstats = jax.jit(
+        lambda k, s, m, g, e: S.sample_blocks(g, cfg, plan, k, s, m, e)
+    )(jax.random.PRNGKey(2),
+      jnp.asarray(np.random.default_rng(0).integers(0, N_NODES, 256),
+                  jnp.int32),
+      jnp.ones(256, bool), graph, exp3)
+    fr = [int(sstats[f"layer{l}/frontier_edges"]) for l in range(3)]
+    be = [int(sstats[f"layer{l}/n_block_edges_true"]) for l in range(3)]
+    plan = plan.refit(fr, be, max_degree=int(deg.max()))
+    print(f"refit plan: frontier={plan.frontier_caps} "
+          f"block_e={plan.block_e_caps}", flush=True)
 layer = 0
 num = cfg.fanouts[layer]
 n_seed_cap = plan.dst_caps[layer]

@@ -400,3 +400,32 @@ def test_capacity_widen_grows_block_caps(small_synth):
         assert wide.frontier_caps[l] == tight.frontier_caps[l]
     wide2 = tight.widen(2.0, frontier=True)
     assert all(a >= b for a, b in zip(wide2.frontier_caps, tight.frontier_caps))
+
+
+def test_gat_alpha_renormalization_math(toy):
+    """GAT reward alpha (bandit_sampler.py:146-158): alpha = nan_to_num(
+    a_ij / sum_dst a_ij) * sum_dst q_ij, hand-checked on a toy block."""
+    from bliss_gnn_tpu.sampling.samplers import _calculate_alpha
+
+    g, _, _ = toy
+    blocks, stats, dg, cfg, plan = _sample(g, "poisson-bandit", (5,), 2,
+                                           key=1)
+    cfg_gat = SamplerConfig(kind="poisson-bandit", fanouts=(5,), model="gat")
+    b = blocks[0]
+    e_mask = np.asarray(b.e_mask)
+    n_e = b.e_cap
+    a_ij = jnp.asarray(np.linspace(0.1, 1.0, n_e), jnp.float32)
+    alpha = np.asarray(_calculate_alpha(dg, cfg_gat, b, a_ij))
+    # numpy reference
+    e_dst = np.asarray(b.e_dst)
+    q = np.asarray(b.e_q, np.float64)
+    a = np.asarray(a_ij, np.float64)
+    q_sum = np.zeros(b.n_dst_cap)
+    a_sum = np.zeros(b.n_dst_cap)
+    np.add.at(q_sum, e_dst[e_mask], q[e_mask])
+    np.add.at(a_sum, e_dst[e_mask], a[e_mask])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.nan_to_num(a / a_sum[e_dst])
+    ref = ratio * q_sum[e_dst]
+    ref[~e_mask] = 0.0
+    np.testing.assert_allclose(alpha, ref, rtol=1e-4)

@@ -93,3 +93,11 @@ def test_capacity_refit_tightens_and_training_still_learns(tmp_path):
     assert any(a < b for a, b in zip(tr.plan.block_e_caps, formula_caps))
     res = tr.final_eval()
     assert res["Train"] > 0.55, res
+
+
+def test_training_gcn_with_ladies(tmp_path):
+    """The BASELINE.json 'GCN with ladies sampler' config end-to-end."""
+    tr = _mk(tmp_path, model="gcn", sampler="ladies", num_epochs=6)
+    tr.fit()
+    res = tr.final_eval()
+    assert res["Train"] > 0.5, res
