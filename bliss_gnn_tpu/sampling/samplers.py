@@ -96,13 +96,28 @@ def init_exp3_weights(
 ) -> jax.Array:
     """Lazily-allocated ones in the reference (bandit_sampler.py:342-343).
 
+    The state is ONE FLAT [n_layers * row_len] buffer (layer-major rows of
+    length ``n_edges + EDGE_PAD``), not [L, E]: the per-step scatter-
+    multiply only hits XLA's fast in-place path on a 1-D donated buffer —
+    any 2-D view (reshape, row slice + stack, 2-D indices) was measured
+    60-96 ms/step at Reddit scale vs 1.3 ms flat (scripts/profile_step.py).
     Rows carry EDGE_PAD trailing ZEROS (never touched by updates, invisible
     to the L1 normalization) so the sampler's chunked slice gathers stay in
-    bounds — see sampling/frontier.py."""
+    bounds — see sampling/frontier.py.  Use ``exp3_row`` to view one
+    layer's row."""
     from bliss_gnn_tpu.sampling.frontier import EDGE_PAD
 
-    w = jnp.zeros((n_layers, n_edges + EDGE_PAD), dtype=dtype)
-    return w.at[:, :n_edges].set(1.0)
+    row = n_edges + EDGE_PAD
+    w = jnp.zeros((n_layers, row), dtype=dtype)
+    return w.at[:, :n_edges].set(1.0).reshape(-1)
+
+
+def exp3_row(exp3_weights: jax.Array, layer: int, n_layers: int) -> jax.Array:
+    """One layer's arm-weight row (a static slice of the flat state)."""
+    row_len = exp3_weights.shape[0] // n_layers
+    return jax.lax.slice(
+        exp3_weights, (layer * row_len,), ((layer + 1) * row_len,)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -422,7 +437,8 @@ def _sample_layer_ladies(
     )
     if cfg.is_bandit:
         edge_w = _exp3_edge_prob(
-            graph, exp3_weights[layer], cfg.eta, frontier, seeds, n_seed_cap
+            graph, exp3_row(exp3_weights, layer, cfg.n_layers), cfg.eta,
+            frontier, seeds, n_seed_cap,
         )
         normalize_per_dst = True
     else:
@@ -714,28 +730,41 @@ def apply_exp3_deltas(
     the Trainer renormalizes every ``exp3_renorm_every`` steps (default
     64) — each touched weight grows by at most exp(1) per step (the update
     exponent is clipped at 1), so bf16 overflow (3.4e38 ~= e^88.7) needs
-    ~89 consecutive unnormalized steps from a weight already at 1."""
-    rows = []
-    for idx, (eid, dr) in enumerate(deltas):
-        row = exp3_weights[idx]
-        mult = jnp.exp(dr).astype(row.dtype)
-        row = row.at[eid.reshape(-1)].multiply(mult.reshape(-1))
-        if normalize:
-            norm = jnp.sum(row, dtype=jnp.float32)  # weights are positive
-            inv = (1.0 / jnp.maximum(norm, 1e-12)).astype(row.dtype)
-            row = row * inv
-        rows.append(row)
-    return jnp.stack(rows)
+    ~89 consecutive unnormalized steps from a weight already at 1.
+
+    All layers update through ONE 1-D scatter-multiply into the FLAT
+    (donated) state buffer — the only formulation XLA executes in place at
+    the fast scatter rate (measured 1.3 ms; per-row slice + jnp.stack
+    ~27 ms, reshape-to-flat or 2-D indices 60-96 ms, all at Reddit's
+    [3 x 115M] scale)."""
+    L = len(deltas)
+    row_len = exp3_weights.shape[0] // L
+    flat_idx = jnp.concatenate([
+        eid.reshape(-1).astype(jnp.int32) + jnp.int32(idx * row_len)
+        for idx, (eid, _) in enumerate(deltas)
+    ])
+    mult = jnp.concatenate([
+        jnp.exp(dr).astype(exp3_weights.dtype).reshape(-1)
+        for _, dr in deltas
+    ])
+    out = exp3_weights.at[flat_idx].multiply(mult)
+    if normalize:
+        out = normalize_exp3_weights(out, L)
+    return out
 
 
-def normalize_exp3_weights(exp3_weights: jax.Array) -> jax.Array:
+def normalize_exp3_weights(
+    exp3_weights: jax.Array, n_layers: int
+) -> jax.Array:
     """L1-normalize every layer row (bandit_sampler.py:249) — the deferred
-    half of apply_exp3_deltas(normalize=False)."""
-    norm = jnp.sum(
-        exp3_weights, axis=-1, keepdims=True, dtype=jnp.float32
-    )
+    half of apply_exp3_deltas(normalize=False).  Operates on the flat state
+    (row sums via a 2-D view; fine here — this runs every
+    ``exp3_renorm_every`` steps, not per step)."""
+    row_len = exp3_weights.shape[0] // n_layers
+    w2 = exp3_weights.reshape(n_layers, row_len)
+    norm = jnp.sum(w2, axis=-1, keepdims=True, dtype=jnp.float32)
     inv = (1.0 / jnp.maximum(norm, 1e-12)).astype(exp3_weights.dtype)
-    return exp3_weights * inv
+    return (w2 * inv).reshape(-1)
 
 
 def exp3_update(

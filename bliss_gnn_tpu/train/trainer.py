@@ -216,7 +216,10 @@ class Trainer:
         self._stop = False
         self._epochs_since_improve = 0
         self._steps_since_renorm = 0
-        self._renorm_fn = jax.jit(normalize_exp3_weights, donate_argnums=0)
+        self._renorm_fn = jax.jit(
+            lambda w: normalize_exp3_weights(w, cfg.num_layers),
+            donate_argnums=0,
+        )
 
     # -- static-shape (re)build -----------------------------------------
     def _build_for_batch_size(self, batch_size: int, init_state: bool):

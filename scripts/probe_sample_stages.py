@@ -125,14 +125,14 @@ def st_cand(g, s, m):
 
 def st_edgeprob(g, s, m, e):
     fr = gather_in_edges(g.csc_indptr, g.csc_src, s, m, e_cap)
-    q = S._exp3_edge_prob(g, e[layer], cfg.eta, fr, s, n_seed_cap)
+    q = S._exp3_edge_prob(g, S.exp3_row(e, layer, 3), cfg.eta, fr, s, n_seed_cap)
     return q
 
 
 def st_nodeprob(g, s, m, e):
     fr = gather_in_edges(g.csc_indptr, g.csc_src, s, m, e_cap)
     cand = dense_candidates(s, m, fr, c_cap, g.n_nodes)
-    q = S._exp3_edge_prob(g, e[layer], cfg.eta, fr, s, n_seed_cap)
+    q = S._exp3_edge_prob(g, S.exp3_row(e, layer, 3), cfg.eta, fr, s, n_seed_cap)
     prob = S._importance_node_prob(q, fr, cand, n_seed_cap, True)
     return prob
 
@@ -140,7 +140,7 @@ def st_nodeprob(g, s, m, e):
 def st_select(g, s, m, e, k):
     fr = gather_in_edges(g.csc_indptr, g.csc_src, s, m, e_cap)
     cand = dense_candidates(s, m, fr, c_cap, g.n_nodes)
-    q = S._exp3_edge_prob(g, e[layer], cfg.eta, fr, s, n_seed_cap)
+    q = S._exp3_edge_prob(g, S.exp3_row(e, layer, 3), cfg.eta, fr, s, n_seed_cap)
     prob = S._importance_node_prob(q, fr, cand, n_seed_cap, True)
     mask = (prob > 0) | cand.is_seed
     cand = cand._replace(mask=mask, n=jnp.sum(mask.astype(jnp.int32)))

@@ -171,3 +171,95 @@ for i in range(3):
 ovf = {k: int(v) for k, v in metrics.items() if "overflow" in k and int(v)}
 log(f"refit full train step: {min(ts)*1e3:.0f} ms "
     f"(loss {float(metrics['train_loss']):.3f}, overflow {ovf or 'none'})")
+
+# --- fwd / fwd+bwd attribution at the refit caps ------------------------
+blocks_t, _ = out_t
+x_t = jnp.take(graph.ndata["features"], blocks_t[0].src_gids, axis=0)
+params = state.params
+
+
+def fwd(params, blocks, x):
+    logits, aux = model.apply(params, blocks, x, deterministic=True)
+    return jnp.sum(logits.astype(jnp.float32))
+
+
+def fwdbwd(params, blocks, x):
+    loss, grads = jax.value_and_grad(fwd)(params, blocks, x)
+    return loss, grads
+
+
+f_fwd = jax.jit(fwd)
+f_fb = jax.jit(fwdbwd)
+float(f_fwd(params, blocks_t, x_t))
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    v = float(f_fwd(params, blocks_t, x_t))
+    ts.append(time.perf_counter() - t0 - 0.033)
+log(f"model fwd only (refit blocks): {min(ts)*1e3:.1f} ms")
+out_fb = f_fb(params, blocks_t, x_t)
+jax.block_until_ready(out_fb)
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    loss_v, grads = f_fb(params, blocks_t, x_t)
+    float(loss_v)
+    ts.append(time.perf_counter() - t0 - 0.033)
+log(f"model fwd+bwd (refit blocks): {min(ts)*1e3:.1f} ms")
+
+# exp3 update alone
+from bliss_gnn_tpu.sampling.samplers import exp3_update  # noqa: E402
+
+emb_norms = [jnp.ones(b.n_src_cap, jnp.float32) for b in blocks_t]
+
+
+def exp3_only(e, blocks, g):
+    return exp3_update(g, cfg, e, blocks, emb_norms, None, normalize=False)
+
+
+f_e3 = jax.jit(exp3_only, donate_argnums=0)
+e3 = f_e3(state.exp3_weights, blocks_t, graph)
+jax.block_until_ready(e3)
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    e3 = f_e3(e3, blocks_t, graph)
+    float(e3[0])
+    ts.append(time.perf_counter() - t0 - 0.033)
+log(f"exp3 update only (donated): {min(ts)*1e3:.1f} ms")
+
+# --- decompose the exp3 update ------------------------------------------
+from bliss_gnn_tpu.sampling.samplers import (  # noqa: E402
+    apply_exp3_deltas,
+    exp3_edge_deltas,
+)
+
+
+def deltas_only(blocks, g):
+    d = exp3_edge_deltas(g, cfg, blocks, emb_norms, None)
+    return d
+
+
+f_d = jax.jit(deltas_only)
+dls = f_d(blocks_t, graph)
+jax.block_until_ready(dls)
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    dls = f_d(blocks_t, graph)
+    float(dls[0][1][0])
+    ts.append(time.perf_counter() - t0 - 0.033)
+log(f"exp3 deltas only: {min(ts)*1e3:.1f} ms")
+
+f_a = jax.jit(
+    lambda e, d: apply_exp3_deltas(e, d, normalize=False), donate_argnums=0
+)
+e3b = f_a(e3, dls)
+jax.block_until_ready(e3b)
+ts = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    e3b = f_a(e3b, dls)
+    float(e3b[0])
+    ts.append(time.perf_counter() - t0 - 0.033)
+log(f"exp3 apply only (donated): {min(ts)*1e3:.1f} ms")

@@ -56,7 +56,9 @@ def test_dp_step_runs_and_replicates():
     assert int(state2.step) == 1
     assert np.isfinite(float(metrics["train_loss"]))
     # exp3 rows stay L1-normalized after the combined update
-    sums = np.asarray(jnp.sum(state2.exp3_weights.astype(jnp.float32), axis=1))
+    sums = np.asarray(
+        jnp.sum(state2.exp3_weights.astype(jnp.float32).reshape(2, -1),
+                axis=1))
     np.testing.assert_allclose(sums, 1.0, rtol=0.02)
     # dp-step total sampled dst count == global batch
     assert int(metrics[f"num_nodes/2"]) == B
@@ -90,9 +92,10 @@ def test_dp_matches_single_device_exp3_semantics():
     B = plan.batch_size
     seeds = jnp.arange(B, dtype=jnp.int32)
     s_dp, m_dp = dp_step(state, seeds, jnp.ones(B, bool), dg)
-    sums = np.asarray(jnp.sum(s_dp.exp3_weights.astype(jnp.float32), axis=1))
+    w2 = s_dp.exp3_weights.astype(jnp.float32).reshape(2, -1)
+    sums = np.asarray(jnp.sum(w2, axis=1))
     np.testing.assert_allclose(sums, 1.0, rtol=0.02)
-    changed = int(jnp.sum(s_dp.exp3_weights[0] != s_dp.exp3_weights[0][0]))
+    changed = int(jnp.sum(w2[0] != w2[0][0]))
     assert changed > 0
 
 

@@ -224,7 +224,7 @@ def test_exp3_update_math(toy):
     b = blocks[0]
     emb = jnp.arange(b.n_src_cap, dtype=jnp.float32) + 1.0
     new = exp3_update(dg, cfg, exp3, blocks, [emb])
-    new = np.asarray(new[0], np.float64)[: g.n_edges]  # trim EDGE_PAD
+    new = np.asarray(new, np.float64)[: g.n_edges]  # trim EDGE_PAD (flat state)
     # reference computation in numpy
     e_mask = np.asarray(b.e_mask)
     e_src = np.asarray(b.e_src)[e_mask]

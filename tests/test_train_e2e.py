@@ -51,7 +51,7 @@ def test_exp3_state_evolves_and_stays_normalized(tmp_path):
     tr.fit()
     w1 = np.asarray(tr.state.exp3_weights.astype(jnp.float32))
     assert not np.array_equal(w0, w1)
-    sums = np.abs(w1).sum(axis=1)
+    sums = np.abs(w1.reshape(tr.cfg.num_layers, -1)).sum(axis=1)
     np.testing.assert_allclose(sums, 1.0, rtol=0.02)
     assert int(tr.state.step) == tr.global_step > 0
 
