@@ -48,9 +48,18 @@ def masked_segment_sum(
     """sum of data over segments; masked slots contribute zero.
 
     data: [E, ...]; segment_ids: [E] in [0, num_segments); out [num_segments, ...].
+
+    Frontier-scale 1-D float sums route through the Pallas banked
+    scatter-add (2.1 vs 5-7 ns/elem — ops/scatter_pallas.py); everything
+    else stays on XLA's scatter.
     """
     data = _mask_data(data, mask)
     ids = _clip_ids(segment_ids, num_segments, mask)
+    from bliss_gnn_tpu.ops.scatter_pallas import maybe_banked_scatter_add
+
+    out = maybe_banked_scatter_add(ids, data, num_segments)
+    if out is not None:
+        return out.astype(data.dtype)
     return jax.ops.segment_sum(data, ids, num_segments=num_segments)
 
 

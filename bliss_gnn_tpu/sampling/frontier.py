@@ -308,6 +308,24 @@ def compact_by_mask(mask: jax.Array, out_cap: int):
     arange_in = jnp.arange(n_in, dtype=jnp.int32)
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1  # rank of each True entry
     n = jnp.sum(mask.astype(jnp.int32))
+    from bliss_gnn_tpu.ops.scatter_pallas import (
+        MIN_ELEMS,
+        maybe_banked_scatter_add,
+    )
+
+    if n_in >= MIN_ELEMS and n_in < (1 << 24):
+        # compaction targets are unique, so scatter-SET == scatter-ADD into
+        # a zeroed buffer — route through the banked Pallas kernel (2.2 vs
+        # ~4.4 ns/elem; positions < 2^24 are exact in its f32 accumulator).
+        # Dropped slots all add into one discarded dump slot.
+        slot = jnp.where(mask & (pos < out_cap), pos, out_cap)
+        got = maybe_banked_scatter_add(
+            slot, arange_in.astype(jnp.float32), out_cap + 1
+        )
+        if got is not None:
+            idx = got[:out_cap].astype(jnp.int32)
+            out_mask = jnp.arange(out_cap, dtype=jnp.int32) < n
+            return idx, out_mask, n
     # dropped slots get DISTINCT out-of-range targets so the scatter is
     # truthfully unique-indexed — XLA then skips its duplicate-combining
     # sort pass (measured ~4 ms on a 3M-slot frontier)

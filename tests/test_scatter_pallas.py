@@ -1,0 +1,54 @@
+"""Banked Pallas scatter-add: correctness vs numpy (interpret mode on CPU)
+and the custom-VJP math."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bliss_gnn_tpu.ops.scatter_pallas import (
+    _scatter_add_bwd,
+    banked_scatter_add,
+    maybe_banked_scatter_add,
+)
+
+
+@pytest.mark.parametrize("n_out", [100, 233_088])
+@pytest.mark.parametrize("banks", [1, 8, 16])
+def test_banked_scatter_add_matches_numpy(n_out, banks):
+    rng = np.random.default_rng(0)
+    e = 20_000
+    keys = rng.integers(0, n_out, size=e).astype(np.int32)
+    vals = rng.normal(size=e).astype(np.float32)
+    expect = np.zeros(n_out, np.float32)
+    np.add.at(expect, keys, vals)
+    got = np.asarray(banked_scatter_add(
+        jnp.asarray(keys), jnp.asarray(vals), n_out, banks=banks,
+        tile=4096, interpret=True,
+    ))
+    np.testing.assert_allclose(got, expect, rtol=2e-5, atol=1e-5)
+
+
+def test_banked_scatter_add_masked_convention(toy):
+    """Masked slots carry (key 0, val 0) — they must contribute nothing."""
+    keys = jnp.asarray([0, 0, 0, 5, 5], jnp.int32)
+    vals = jnp.asarray([0.0, 0.0, 0.0, 2.0, 3.0], jnp.float32)
+    got = np.asarray(banked_scatter_add(keys, vals, 8, banks=2, tile=1024,
+                                        interpret=True))
+    expect = np.zeros(8, np.float32)
+    expect[5] = 5.0
+    np.testing.assert_allclose(got, expect)
+
+
+def test_scatter_add_vjp_is_gather():
+    keys = jnp.asarray(np.random.default_rng(1).integers(0, 50, 1000),
+                       jnp.int32)
+    g = jnp.asarray(np.random.default_rng(2).normal(size=50), jnp.float32)
+    key_ct, val_ct = _scatter_add_bwd(50, 8, keys, g)
+    np.testing.assert_allclose(np.asarray(val_ct), np.asarray(g)[keys])
+    assert key_ct.dtype == jax.dtypes.float0
+
+
+def test_maybe_routing_falls_back_on_cpu():
+    keys = jnp.zeros(1 << 20, jnp.int32)
+    vals = jnp.zeros(1 << 20, jnp.float32)
+    assert maybe_banked_scatter_add(keys, vals, 1000) is None  # cpu backend
