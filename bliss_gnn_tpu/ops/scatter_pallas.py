@@ -74,7 +74,7 @@ def banked_scatter_add(
     n_out: int,
     banks: int = 16,
     tile: int = 8192,
-    unroll: int = 16,
+    unroll: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
     """out[n_out] f32 with out[keys[i]] += vals[i].

@@ -130,3 +130,46 @@ for banks in (1, 4, 8, 16):
             keys, vals)
         print(f"banked B={banks:2d} u={unroll:2d}  E={E}: {t*1e3:7.1f} ms  "
               f"{t/E*1e9:.2f} ns/elem", flush=True)
+
+# -- masked-run sensitivity: ~34% of slots masked (key 0) in runs --------
+keys_np = np.asarray(keys)
+masked = np.zeros(E, bool)
+# mask the tail (the real frontier's beyond-total_chunks region) + per-chunk
+# run tails, mimicking gather_in_edges' layout
+masked[int(E * 0.75):] = True
+rng2 = np.random.default_rng(3)
+starts = rng2.integers(0, int(E * 0.75), size=E // 1024)
+for s in starts:
+    masked[s:s + 40] = True
+frac = masked.mean()
+k_runs = jnp.asarray(np.where(masked, 0, keys_np).astype(np.int32))
+v_runs = jnp.asarray(np.where(masked, 0.0, np.asarray(vals)).astype(np.float32))
+t = timeit(functools.partial(banked_scatter_add, n_out=N, banks=16,
+                             unroll=16), k_runs, v_runs)
+print(f"runs->key0 ({frac:.0%} masked): {t*1e3:7.1f} ms  "
+      f"{t/E*1e9:.2f} ns/elem", flush=True)
+# fix candidate: masked keys spread over a dump region of 2048 keys
+dump = N + (np.arange(E) % 2048)
+k_spread = jnp.asarray(np.where(masked, dump, keys_np).astype(np.int32))
+t = timeit(functools.partial(banked_scatter_add, n_out=N + 2048, banks=16,
+                             unroll=16), k_spread, v_runs)
+print(f"runs->spread dump          : {t*1e3:7.1f} ms  "
+      f"{t/E*1e9:.2f} ns/elem", flush=True)
+
+# -- in-one-jit chained double-scatter (mimic the sampler's usage) --------
+def two_scatters(k1, v1, k2, v2):
+    a = banked_scatter_add(k1, v1, N, banks=16, unroll=16)
+    b = banked_scatter_add(k2, v2, 120_065, banks=16, unroll=16)
+    return a[0] + b[0]
+
+k2 = jnp.asarray(rng.integers(0, 120_000, size=E).astype(np.int32))
+t = timeit(two_scatters, k_runs, v_runs, k2, vals)
+print(f"two chained scatters in one jit: {t*1e3:7.1f} ms "
+      f"({t/(2*E)*1e9:.2f} ns/elem)", flush=True)
+for unroll in (4, 8, 32):
+    for tile in (8192,):
+        t = timeit(functools.partial(banked_scatter_add, n_out=N, banks=16,
+                                     unroll=unroll, tile=tile),
+                   k_runs, v_runs)
+        print(f"tuned B=16 u={unroll:2d} t={tile:5d}: {t*1e3:7.1f} ms  "
+              f"{t/E*1e9:.2f} ns/elem", flush=True)
