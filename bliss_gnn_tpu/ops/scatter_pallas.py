@@ -37,6 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 MIN_ELEMS = 1 << 19
 # VMEM budget for the banked accumulator
 MAX_ACC_BYTES = 64 * 1024 * 1024
+# test hook: route through the kernel in Pallas interpret mode even off-TPU
+# (lets the CPU suite exercise the sampler's real banked code path)
+INTERPRET = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -119,7 +122,8 @@ def banked_scatter_add(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _scatter_add_diff(keys, vals, n_out, banks):
-    return banked_scatter_add(keys, vals, n_out, banks=banks)
+    return banked_scatter_add(keys, vals, n_out, banks=banks,
+                              interpret=INTERPRET)
 
 
 def _scatter_add_fwd(keys, vals, n_out, banks):
@@ -147,7 +151,7 @@ def maybe_banked_scatter_add(
     Differentiable in ``vals`` (custom VJP: the gradient is a gather)."""
     banks = 16
     use = (
-        jax.default_backend() == "tpu"
+        (jax.default_backend() == "tpu" or INTERPRET)
         and vals.ndim == 1
         and jnp.issubdtype(vals.dtype, jnp.floating)
         and keys.shape[0] >= MIN_ELEMS

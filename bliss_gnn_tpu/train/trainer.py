@@ -374,7 +374,11 @@ class Trainer:
             K = self.cfg.steps_per_call if self.multi_step is not None else 1
             b = 0
             while b < batches.shape[0]:
-                chain = K > 1 and b + K <= batches.shape[0] and (
+                # run the capacity-refit pilot steps UNCHAINED: compiling
+                # the K-step chain at the (loose) formula caps would be
+                # thrown away by the refit recompile a moment later
+                pilot = cfg.refit_after > 0 and not self._refit_done
+                chain = K > 1 and not pilot and b + K <= batches.shape[0] and (
                     self.global_step + K <= max_steps
                 ) and cfg.profile_steps == 0
                 if chain:

@@ -52,3 +52,42 @@ def test_maybe_routing_falls_back_on_cpu():
     keys = jnp.zeros(1 << 20, jnp.int32)
     vals = jnp.zeros(1 << 20, jnp.float32)
     assert maybe_banked_scatter_add(keys, vals, 1000) is None  # cpu backend
+
+
+def test_banked_path_inside_sampler_matches_xla(small_synth, monkeypatch):
+    """Force the banked kernel (interpret mode) through the REAL call sites
+    — masked_segment_sum and compact_by_mask — and compare whole sampled
+    blocks against the XLA scatter path."""
+    from bliss_gnn_tpu.ops import scatter_pallas as sp
+    from bliss_gnn_tpu.sampling.block import CapacityPlan
+    from bliss_gnn_tpu.sampling.samplers import (
+        SamplerConfig,
+        init_exp3_weights,
+        sample_blocks,
+    )
+
+    g, _, _ = small_synth
+    dg = g.to_device()
+    cfg = SamplerConfig(kind="poisson-bandit", fanouts=(16, 8))
+    plan = CapacityPlan.build(4, (16, 8), g.n_nodes, g.n_edges,
+                              kind=cfg.kind, frontier_slack=16.0)
+    exp3 = init_exp3_weights(2, g.n_edges)
+    seeds = jnp.arange(4, dtype=jnp.int32)
+    smask = jnp.ones(4, bool)
+    ref_blocks, ref_stats = sample_blocks(
+        dg, cfg, plan, jax.random.PRNGKey(3), seeds, smask, exp3)
+
+    monkeypatch.setattr(sp, "INTERPRET", True)
+    monkeypatch.setattr(sp, "MIN_ELEMS", 1)
+    got_blocks, got_stats = sample_blocks(
+        dg, cfg, plan, jax.random.PRNGKey(3), seeds, smask, exp3)
+    for rb, gb in zip(ref_blocks, got_blocks):
+        np.testing.assert_array_equal(np.asarray(rb.e_src),
+                                      np.asarray(gb.e_src))
+        np.testing.assert_array_equal(np.asarray(rb.e_dst),
+                                      np.asarray(gb.e_dst))
+        np.testing.assert_array_equal(np.asarray(rb.eid), np.asarray(gb.eid))
+        np.testing.assert_allclose(np.asarray(rb.e_weight),
+                                   np.asarray(gb.e_weight), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rb.src_node_prob),
+                                   np.asarray(gb.src_node_prob), rtol=1e-4)
