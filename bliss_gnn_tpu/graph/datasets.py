@@ -157,18 +157,23 @@ def _load_planetoid(name: str) -> Tuple[Graph, int, bool]:
         os.path.join(d, f"ind.{name}.test.index"), dtype=np.int64
     )
     test_range = np.arange(test_idx.min(), test_idx.max() + 1)
+    test_sorted = np.sort(test_idx)
     if name == "citeseer":
         # citeseer has isolated test nodes missing from tx/ty
-        tx_ext = sp.lil_matrix((len(test_range), x.shape[1]))
-        tx_ext[test_idx - test_idx.min(), :] = tx
-        tx = tx_ext
+        tx_ext = np.zeros((len(test_range), x.shape[1]), dtype=np.float32)
+        tx_ext[test_idx - test_idx.min(), :] = np.asarray(tx.todense())
+        tx = sp.csr_matrix(tx_ext)
         ty_ext = np.zeros((len(test_range), y.shape[1]))
         ty_ext[test_idx - test_idx.min(), :] = ty
         ty = ty_ext
+    # un-shuffle the test rows: position test_idx[i] gets the i-th test row
+    # (which vstack placed at sorted position test_sorted[i]) — the standard
+    # planetoid reorder; test_sorted == test_range only when the index list
+    # is gap-free (citeseer has isolated nodes missing from it)
     features = sp.vstack((allx, tx)).tolil()
-    features[test_idx, :] = features[test_range, :]
+    features[test_idx, :] = features[test_sorted, :]
     labels_oh = np.vstack((ally, ty))
-    labels_oh[test_idx, :] = labels_oh[test_range, :]
+    labels_oh[test_idx, :] = labels_oh[test_sorted, :]
     labels = labels_oh.argmax(axis=1)
     n = features.shape[0]
     src, dst = [], []
@@ -235,6 +240,29 @@ def _load_saint_npz(name: str) -> Tuple[Graph, int, bool]:
     return Graph(adj.row, adj.col, n, ndata=ndata), n_classes, multilabel
 
 
+def _load_reddit_dgl(d: str) -> Tuple[Graph, int, bool]:
+    """DGL RedditDataset raw layout: reddit_data.npz (feature/label/
+    node_types with 1=train, 2=val, 3=test) + reddit_graph.npz (scipy coo).
+    The alternative on-disk format for the reference's reddit loader
+    (load_graph.py:16 via dgl.data.RedditDataset)."""
+    import scipy.sparse as sp
+
+    data = np.load(os.path.join(d, "reddit_data.npz"))
+    adj = sp.load_npz(os.path.join(d, "reddit_graph.npz")).tocoo()
+    feats = data["feature"].astype(np.float32)
+    labels = data["label"].reshape(-1).astype(np.int64)
+    types = data["node_types"].reshape(-1)
+    ndata = {
+        "features": feats,
+        "labels": labels,
+        "train_mask": types == 1,
+        "val_mask": types == 2,
+        "test_mask": types == 3,
+    }
+    n = feats.shape[0]
+    return Graph(adj.row, adj.col, n, ndata=ndata), int(labels.max()) + 1, False
+
+
 def _load_ogb(name: str) -> Tuple[Graph, int, bool]:
     """OGB node-prop layout: <root>/<name_>/raw/*.csv.gz + split/..."""
     under = name.replace("-", "_")
@@ -294,6 +322,12 @@ def load_dataset(name: str, seed: int = 0) -> Tuple[Graph, int, bool]:
     if name in ("cora", "citeseer", "pubmed"):
         return _load_planetoid(name)
     if name in ("reddit", "yelp", "flickr"):
+        if name == "reddit" and not os.path.exists(
+            os.path.join(DATA_ROOT, name, "adj_full.npz")
+        ) and os.path.exists(
+            os.path.join(DATA_ROOT, name, "reddit_data.npz")
+        ):
+            return _load_reddit_dgl(os.path.join(DATA_ROOT, name))
         return _load_saint_npz(name)
     if name.startswith("ogbn-"):
         return _load_ogb(name)

@@ -1,0 +1,188 @@
+"""On-disk dataset loaders exercised against fabricated fixture files in the
+real public formats (SURVEY.md §2a row 12; reference load_graph.py:1-89).
+
+No network egress in this environment, so each test writes a tiny dataset in
+the exact on-disk layout the loader expects (planetoid ``ind.*`` pickles,
+GraphSAINT npz, DGL reddit npz, OGB csv.gz) and checks the parsed Graph.
+"""
+import gzip
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import bliss_gnn_tpu.graph.datasets as ds
+from bliss_gnn_tpu.graph.structure import Graph
+
+
+@pytest.fixture
+def data_root(tmp_path, monkeypatch):
+    monkeypatch.setattr(ds, "DATA_ROOT", str(tmp_path))
+    return tmp_path
+
+
+def _write_planetoid(d, name, n_known=8, n_test=2, f=6, c=3, gap=False):
+    """ind.<name>.{x,y,tx,ty,allx,ally,graph,test.index} family.
+
+    ``gap=True`` leaves a hole in test.index (the citeseer isolated-node
+    quirk the loader special-cases, load_graph upstream does the same)."""
+    rng = np.random.default_rng(0)
+    os.makedirs(d, exist_ok=True)
+    test_idx = np.array([n_known, n_known + 2]) if gap else np.arange(
+        n_known, n_known + n_test
+    )
+    n = n_known + (test_idx.max() - test_idx.min() + 1 if gap else n_test)
+    allx = sp.csr_matrix(rng.random((n_known, f)).astype(np.float32))
+    tx = sp.csr_matrix(rng.random((n_test, f)).astype(np.float32))
+    ally = np.eye(c)[rng.integers(0, c, n_known)]
+    ty = np.eye(c)[rng.integers(0, c, n_test)]
+    x, y = allx[:4], ally[:4]
+    graph = {i: [int(j) for j in rng.integers(0, n, 2)] for i in range(n)}
+    for suffix, obj in [("x", x), ("y", y), ("tx", tx), ("ty", ty),
+                        ("allx", allx), ("ally", ally), ("graph", graph)]:
+        with open(os.path.join(d, f"ind.{name}.{suffix}"), "wb") as fh:
+            pickle.dump(obj, fh)
+    np.savetxt(os.path.join(d, f"ind.{name}.test.index"), test_idx, fmt="%d")
+    return n, c, test_idx
+
+
+def test_planetoid_loader(data_root):
+    n, c, test_idx = _write_planetoid(data_root / "pubmed", "pubmed")
+    g, n_classes, multilabel = ds.load_dataset("pubmed")
+    assert isinstance(g, Graph)
+    assert (g.n_nodes, n_classes, multilabel) == (n, c, False)
+    assert g.ndata["features"].shape == (n, 6)
+    assert g.ndata["labels"].shape == (n,)
+    assert g.ndata["test_mask"].sum() == len(test_idx)
+    assert g.ndata["test_mask"][test_idx].all()
+    assert g.n_edges > 0  # symmetrized adjacency dict
+
+
+def test_planetoid_citeseer_isolated_test_nodes(data_root):
+    n, c, test_idx = _write_planetoid(
+        data_root / "citeseer", "citeseer", gap=True
+    )
+    g, n_classes, _ = ds.load_dataset("citeseer")
+    assert g.n_nodes == n
+    assert n_classes == c
+    # the hole node exists, carries zero features and label 0
+    hole = test_idx.min() + 1
+    assert not g.ndata["test_mask"][hole]
+    assert np.all(g.ndata["features"][hole] == 0)
+
+
+def _write_saint(d, n=12, f=5, c=4, multilabel=False):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(1)
+    adj = sp.random(n, n, density=0.3, random_state=2, format="csr")
+    sp.save_npz(os.path.join(d, "adj_full.npz"), adj)
+    np.save(os.path.join(d, "feats.npy"), rng.random((n, f)).astype(np.float32))
+    if multilabel:
+        cm = {str(i): [int(b) for b in rng.integers(0, 2, c)] for i in range(n)}
+    else:
+        cm = {str(i): int(rng.integers(0, c)) for i in range(n)}
+        cm["0"] = c - 1  # pin max so n_classes is deterministic
+    with open(os.path.join(d, "class_map.json"), "w") as fh:
+        json.dump(cm, fh)
+    role = {"tr": list(range(6)), "va": [6, 7, 8], "te": [9, 10, 11]}
+    with open(os.path.join(d, "role.json"), "w") as fh:
+        json.dump(role, fh)
+    return adj
+
+
+@pytest.mark.parametrize("name,multilabel", [("flickr", False), ("yelp", True)])
+def test_saint_loader(data_root, name, multilabel):
+    adj = _write_saint(data_root / name, multilabel=multilabel)
+    g, n_classes, ml = ds.load_dataset(name)
+    assert ml == multilabel
+    assert n_classes == 4
+    assert g.n_edges == adj.nnz
+    assert g.ndata["train_mask"].sum() == 6
+    assert g.ndata["val_mask"].sum() == 3
+    if multilabel:
+        assert g.ndata["labels"].shape == (12, 4)
+    else:
+        assert g.ndata["labels"].shape == (12,)
+
+
+def test_reddit_dgl_npz_loader(data_root):
+    d = data_root / "reddit"
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(3)
+    n, f = 10, 4
+    adj = sp.random(n, n, density=0.4, random_state=4, format="csr")
+    sp.save_npz(os.path.join(d, "reddit_graph.npz"), adj)
+    types = np.array([1, 1, 1, 1, 2, 2, 3, 3, 3, 3])
+    np.savez(
+        os.path.join(d, "reddit_data.npz"),
+        feature=rng.random((n, f)).astype(np.float32),
+        label=rng.integers(0, 5, n),
+        node_types=types,
+    )
+    g, n_classes, ml = ds.load_dataset("reddit")
+    assert not ml
+    assert g.n_nodes == n and g.n_edges == adj.nnz
+    assert g.ndata["train_mask"].sum() == 4
+    assert g.ndata["val_mask"].sum() == 2
+    assert g.ndata["test_mask"].sum() == 4
+
+
+def test_ogb_loader(data_root):
+    import pandas as pd
+
+    d = data_root / "ogbn_arxiv"
+    raw = d / "raw"
+    split = d / "split" / "time"
+    os.makedirs(raw)
+    os.makedirs(split)
+    rng = np.random.default_rng(5)
+    n, f = 9, 3
+    edges = rng.integers(0, n, (20, 2))
+    pd.DataFrame(edges).to_csv(raw / "edge.csv.gz", header=False, index=False,
+                               compression="gzip")
+    pd.DataFrame(rng.random((n, f))).to_csv(
+        raw / "node-feat.csv.gz", header=False, index=False, compression="gzip"
+    )
+    labels = rng.integers(0, 6, n)
+    labels[0] = 5
+    pd.DataFrame(labels).to_csv(raw / "node-label.csv.gz", header=False,
+                                index=False, compression="gzip")
+    for fname, idx in [("train.csv.gz", [0, 1, 2, 3]), ("valid.csv.gz", [4, 5]),
+                       ("test.csv.gz", [6, 7, 8])]:
+        pd.DataFrame(idx).to_csv(split / fname, header=False, index=False,
+                                 compression="gzip")
+    g, n_classes, ml = ds.load_dataset("ogbn-arxiv")
+    assert (g.n_nodes, g.n_edges, n_classes, ml) == (n, 20, 6, False)
+    assert g.ndata["train_mask"].sum() == 4
+
+
+def test_loaders_feed_training(data_root):
+    """A loaded-from-disk graph runs through canonicalize + one sampled
+    training step (the DataModule path, train_lightning.py:331-373)."""
+    _write_saint(data_root / "flickr")
+    import jax
+    import jax.numpy as jnp
+
+    from bliss_gnn_tpu.graph.structure import Graph as G, normalized_edata
+    from bliss_gnn_tpu.sampling.block import CapacityPlan
+    from bliss_gnn_tpu.sampling.samplers import (
+        SamplerConfig, init_exp3_weights, sample_blocks,
+    )
+
+    g, n_classes, _ = ds.load_dataset("flickr")
+    g = G.canonicalize(g)
+    g.edata["w"] = normalized_edata(g)
+    dg = g.to_device()
+    cfg = SamplerConfig(kind="poisson-bandit", fanouts=(4, 3))
+    plan = CapacityPlan.build(4, cfg.fanouts, g.n_nodes, g.n_edges, kind=cfg.kind)
+    exp3 = init_exp3_weights(2, g.n_edges)
+    seeds = jnp.arange(plan.batch_size, dtype=jnp.int32) % g.n_nodes
+    blocks, stats = jax.jit(
+        lambda k: sample_blocks(dg, cfg, plan, k, seeds,
+                                jnp.ones(plan.batch_size, bool), exp3)
+    )(jax.random.PRNGKey(0))
+    assert len(blocks) == 2
+    assert int(stats["layer0/n_selected"]) > 0
