@@ -133,3 +133,137 @@ def sharded_mean_aggregate(
     out = out[:n_nodes]
     deg = jnp.maximum(in_degrees.astype(jnp.float32), 1.0)
     return out / deg[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Ring SpMM: features sharded too (graphs whose activations exceed one HBM)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RingEdgeShards:
+    """Doubly-partitioned CSC: shard s owns dst range s, with its edges
+    bucketed by the SRC's owner shard — bucket b is processed at the ring
+    step when block b's features are resident.
+
+    Unlike :class:`EdgeShards` (features replicated, one all_gather), both
+    the feature matrix and the activations stay sharded [N/S, F]: per-device
+    memory is O(N/S + E/S), the collective is S-1 ``ppermute`` rotations of
+    one feature shard (bandwidth-optimal, same total bytes as the
+    all_gather but never materializing [N, F] anywhere), and each rotation
+    overlaps with the local bucket's segment-sum.
+    """
+
+    e_src_rel: jax.Array  # [S, S, Eb] src - owner*node_per (0-padded)
+    e_dst_rel: jax.Array  # [S, S, Eb] dst - s*node_per
+    e_w: jax.Array  # [S, S, Eb] f32 (0 on padding)
+    node_per_shard: int = dataclasses.field(metadata=dict(static=True),
+                                            default=0)
+    n_shards: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @staticmethod
+    def build(g: Graph, n_shards: int, edge_vals: np.ndarray | None = None):
+        node_per = -(-g.n_nodes // n_shards)
+        src, dst = g.edges()
+        w = (np.ones(g.n_edges, np.float32) if edge_vals is None
+             else np.asarray(edge_vals, np.float32))
+        buckets = {}
+        for s in range(n_shards):
+            lo = s * node_per
+            hi = min(g.n_nodes, lo + node_per)
+            e0, e1 = int(g.csc_indptr[lo]), int(g.csc_indptr[hi])
+            b_of_e = src[e0:e1] // node_per
+            for b in range(n_shards):
+                m = b_of_e == b
+                buckets[(s, b)] = (
+                    src[e0:e1][m] - b * node_per,
+                    dst[e0:e1][m] - lo,
+                    w[e0:e1][m],
+                )
+        emax = max(max((len(v[0]) for v in buckets.values()), default=0), 1)
+        S = n_shards
+        e_src_rel = np.zeros((S, S, emax), np.int32)
+        e_dst_rel = np.zeros((S, S, emax), np.int32)
+        e_w = np.zeros((S, S, emax), np.float32)
+        for (s, b), (ss, dd, ww) in buckets.items():
+            k = len(ss)
+            e_src_rel[s, b, :k] = ss
+            e_dst_rel[s, b, :k] = dd
+            e_w[s, b, :k] = ww
+        return RingEdgeShards(
+            e_src_rel=jnp.asarray(e_src_rel),
+            e_dst_rel=jnp.asarray(e_dst_rel),
+            e_w=jnp.asarray(e_w),
+            node_per_shard=node_per, n_shards=S,
+        )
+
+
+jax.tree_util.register_dataclass(
+    RingEdgeShards,
+    data_fields=["e_src_rel", "e_dst_rel", "e_w"],
+    meta_fields=["node_per_shard", "n_shards"],
+)
+
+
+def make_ring_spmm(mesh: Mesh, shards_meta: Tuple[int, int],
+                   axis: str = "dp"):
+    """Build the ring-rotated, fully-sharded SpMM.
+
+    (e_src_rel, e_dst_rel, e_w [S, S, Eb]; x [S*node_per, F] node-sharded)
+    -> [S*node_per, F] f32, node-sharded.  At ring step k device ``me``
+    holds feature block ``(me - k) mod S`` (after k ``ppermute`` rotations
+    towards the next device) and folds in its bucket for that block; the
+    rotation and the bucket's gather+segment-sum are independent per step,
+    so XLA overlaps the ICI transfer with compute."""
+    from jax import shard_map
+
+    node_per, S = shards_meta
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def local(e_src_rel, e_dst_rel, e_w, x_shard):
+        me = jax.lax.axis_index(axis)
+        x0 = x_shard.astype(jnp.float32)
+        acc0 = jnp.zeros((node_per, x_shard.shape[-1]), jnp.float32)
+
+        def body(k, carry):
+            x_cur, acc = carry
+            b = jax.lax.rem(me - k + S, S)  # block resident at step k
+            src = jax.lax.dynamic_index_in_dim(e_src_rel[0], b, 0, False)
+            dstr = jax.lax.dynamic_index_in_dim(e_dst_rel[0], b, 0, False)
+            w = jax.lax.dynamic_index_in_dim(e_w[0], b, 0, False)
+            msg = jnp.take(x_cur, src, axis=0) * w[:, None]
+            acc = acc + jax.ops.segment_sum(
+                msg, dstr, num_segments=node_per, indices_are_sorted=True,
+            )
+            x_nxt = jax.lax.ppermute(x_cur, axis, perm)
+            return (x_nxt, acc)
+
+        _, acc = jax.lax.fori_loop(0, S, body, (x0, acc0))
+        return acc
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def ring_mean_aggregate(
+    mesh: Mesh, shards: RingEdgeShards, x: jax.Array, in_degrees: jax.Array,
+    n_nodes: int, axis: str = "dp",
+) -> jax.Array:
+    """Fully-sharded full-graph mean aggregation: features AND output stay
+    node-sharded over the mesh; returns [N, F] f32 (sharded).  ``x`` must be
+    zero-padded to S * node_per_shard rows."""
+    n_pad = shards.n_shards * shards.node_per_shard
+    if x.shape[0] != n_pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_pad - x.shape[0], x.shape[1]), x.dtype)]
+        )
+    spmm = make_ring_spmm(mesh, (shards.node_per_shard, shards.n_shards), axis)
+    out = spmm(shards.e_src_rel, shards.e_dst_rel, shards.e_w, x)[:n_nodes]
+    deg = jnp.maximum(in_degrees.astype(jnp.float32), 1.0)
+    return out / deg[:, None]
