@@ -714,6 +714,7 @@ def apply_exp3_deltas(
     exp3_weights: jax.Array,
     deltas: Sequence[Tuple[jax.Array, jax.Array]],
     normalize: bool = True,
+    assume_unique: bool = True,
 ) -> jax.Array:
     """w[eid] *= exp(dr), then L1-normalize each row
     (bandit_sampler.py:248-249).  Scatter-multiply runs in the state dtype
@@ -739,15 +740,29 @@ def apply_exp3_deltas(
     [3 x 115M] scale)."""
     L = len(deltas)
     row_len = exp3_weights.shape[0] // L
+    # Slots with dr == 0 (padding, or zero reward) have multiplier exactly 1;
+    # remap them to the row's last EDGE_PAD slot (weight 0, never sampled).
+    # With one delta list per layer the remaining indices are then truthfully
+    # unique and XLA skips the duplicate-combining pass of the scatter
+    # (measured on v5e, scripts/probe_exp3_apply.py).  ``assume_unique``
+    # must be False when deltas were all-gathered across data-parallel
+    # shards: two shards may update the SAME edge, and those updates must
+    # compose multiplicatively (parallel/dp.py).
     flat_idx = jnp.concatenate([
-        eid.reshape(-1).astype(jnp.int32) + jnp.int32(idx * row_len)
-        for idx, (eid, _) in enumerate(deltas)
+        jnp.where(
+            dr.reshape(-1) != 0,
+            eid.reshape(-1).astype(jnp.int32),
+            jnp.int32(row_len - 1),
+        ) + jnp.int32(idx * row_len)
+        for idx, (eid, dr) in enumerate(deltas)
     ])
     mult = jnp.concatenate([
         jnp.exp(dr).astype(exp3_weights.dtype).reshape(-1)
         for _, dr in deltas
     ])
-    out = exp3_weights.at[flat_idx].multiply(mult)
+    out = exp3_weights.at[flat_idx].multiply(
+        mult, unique_indices=assume_unique
+    )
     if normalize:
         out = normalize_exp3_weights(out, L)
     return out
