@@ -55,16 +55,21 @@ def maybe_lut_gather(lut: jax.Array, idx: jax.Array) -> jax.Array:
     )
     if not use:
         return jnp.take(lut, idx)
+    # flat2d: [M//128, 128]-tiled output reshaped back — consumers read it
+    # without the XLA relayout of the [M, 1] column (22% faster end-to-end
+    # on a 2.4M keep-mask lookup, scripts/probe_kernel_v2.py)
     if jnp.issubdtype(lut.dtype, jnp.integer) or lut.dtype == jnp.bool_:
-        out = lut_gather(lut.astype(jnp.int32), idx, elem_dtype=jnp.int32)
+        out = lut_gather(lut.astype(jnp.int32), idx, elem_dtype=jnp.int32,
+                         flat2d=True)
         if lut.dtype == jnp.bool_:
             return out != 0
         return out.astype(lut.dtype)
-    out = lut_gather(lut.astype(jnp.float32), idx, elem_dtype=jnp.float32)
+    out = lut_gather(lut.astype(jnp.float32), idx, elem_dtype=jnp.float32,
+                     flat2d=True)
     return out.astype(lut.dtype)
 
 
-def _lut_gather_kernel(et: int, unroll: int):
+def _lut_gather_kernel(et: int, unroll: int, flat2d: bool = False):
     def kernel(idx_smem, idx_col, lut_ref, out_ref, msgs_ref):
         def body(i, _):
             base = i * unroll
@@ -78,15 +83,22 @@ def _lut_gather_kernel(et: int, unroll: int):
         rel = idx_col[:, 0] & 127  # [et] sublane-major
         lanes = jax.lax.broadcasted_iota(jnp.int32, (et, 128), 1)
         onehot = (lanes == rel[:, None]).astype(msgs_ref.dtype)
-        out_ref[:, :] = jnp.sum(
-            msgs_ref[:] * onehot, axis=1, keepdims=True
-        )
+        col = jnp.sum(msgs_ref[:] * onehot, axis=1, keepdims=not flat2d)
+        if flat2d:
+            # emit [et//128, 128] tiles: the in-kernel relayout spares the
+            # consumer an XLA copy of the pathological [M, 1] column layout
+            # (measured 1.9 ms on a 2.4M-slot frontier, scripts/
+            # probe_lut_layout.py)
+            out_ref[:, :] = col.reshape(et // 128, 128)
+        else:
+            out_ref[:, :] = col
 
     return kernel
 
 
 @partial(
-    jax.jit, static_argnames=("interpret", "et", "unroll", "elem_dtype")
+    jax.jit,
+    static_argnames=("interpret", "et", "unroll", "elem_dtype", "flat2d"),
 )
 def lut_gather(
     lut: jax.Array,  # [N] f32 or int32 lookup table
@@ -95,10 +107,13 @@ def lut_gather(
     et: int = 2048,
     unroll: int = 32,
     elem_dtype=jnp.float32,
+    flat2d: bool = False,
 ) -> jax.Array:
     """out[i] = lut[idx[i]] in ``elem_dtype`` (f32 or int32 — int32 is
     exact).  M is padded to a tile multiple internally; indices must be
-    in-range (mask upstream)."""
+    in-range (mask upstream).  ``flat2d`` emits [et//128, 128] tiles and
+    reshapes back — spares consumers the XLA relayout of the [M, 1]
+    column."""
     n = lut.shape[0]
     m = idx.shape[0]
     assert n <= MAX_LUT_ELEMS, f"LUT of {n} too large for VMEM residency"
@@ -109,10 +124,18 @@ def lut_gather(
     idx_p = jnp.zeros(mp, jnp.int32).at[:m].set(idx.astype(jnp.int32))
     n_tiles = mp // et
     unroll = math.gcd(unroll, et)
-    kernel = _lut_gather_kernel(et, unroll)
+    kernel = _lut_gather_kernel(et, unroll, flat2d)
+    if flat2d:
+        out_shape = jax.ShapeDtypeStruct((mp // 128, 128), elem_dtype)
+        out_specs = pl.BlockSpec((et // 128, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((mp, 1), elem_dtype)
+        out_specs = pl.BlockSpec((et, 1), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, 1), elem_dtype),
+        out_shape=out_shape,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((et,), lambda i: (i,), memory_space=pltpu.SMEM),
@@ -120,12 +143,13 @@ def lut_gather(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole LUT
         ],
-        out_specs=pl.BlockSpec((et, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((et, 128), elem_dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(idx_p, idx_p[:, None], lut2d)
+    if flat2d:
+        return out.reshape(-1)[:m]
     return out[:m, 0]

@@ -12,10 +12,16 @@ independent copies laid out [banks * ceil(N/128), 128] f32.  Element i
 updates bank i % banks at row key>>7, lane key&127 via a lane-masked
 one-hot add.  Because consecutive elements hit different banks, their
 read-modify-write chains are independent and pipeline instead of
-serializing: measured 2.1 ns/element at 2.5M x 233k scale — 2.4x XLA
-(scripts/probe_banked_scatter.py).  A final [banks, N] reduce folds the
-banks (order of f32 addition differs from XLA's — same tolerance class
-as any segment-sum reordering).
+serializing: measured 3.9 ns/element at 2.4M x 233k scale vs 6.3-6.4 for
+the XLA scatter-add, insensitive to bank count (16/32/64) and key
+distribution (uniform/zipf/monotone) — honest chained-dispatch timing,
+scripts/probe_scatter_tune.py.  (Earlier 2.1 ns claims were an artifact
+of the axon tunnel memoizing repeat dispatches with identical inputs.)
+A 2-stream variant deriving row/lane in-kernel measured SLOWER (5.7 ns —
+the scalar shift/mask arithmetic costs more than the third SMEM stream;
+scripts/probe_kernel_v2.py).  A final [banks, N] reduce folds the banks
+(order of f32 addition differs from XLA's — same tolerance class as any
+segment-sum reordering).
 
 Constraints (probed, same class as ops/spmm_pallas.py):
 - keys/values are consumed scalar-by-scalar -> SMEM blocked inputs
@@ -118,6 +124,8 @@ def banked_scatter_add(
         interpret=interpret,
     )(row, lane, vals.astype(jnp.float32))
     return acc.reshape(banks, n_rows * 128).sum(axis=0)[:n_out]
+
+
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
