@@ -158,15 +158,19 @@ def main():
     acc0 = jnp.zeros((m.n_wins * m.wr, xb.shape[1]), jnp.float32)
     _log("features banded")
 
+    # scalar-perturbed input per repeat: the axon tunnel memoizes repeat
+    # dispatches with identical inputs (CLAUDE.md), so each timed call must
+    # be distinct; the extra elementwise pass over xb is ~1 ms at stream
+    # rate vs the ~800 ms kernel
     pallas_fn = jax.jit(
-        lambda xb, acc, dl: banded_spmm(xb, dl, acc)[0, 0]
+        lambda xb, acc, dl, s: banded_spmm(xb * (1 + s * 1e-9), dl, acc)[0, 0]
     )
-    float(pallas_fn(xb, acc0, dl))  # compile + warmup
+    float(pallas_fn(xb, acc0, dl, jnp.float32(0)))  # compile + warmup
     _log("pallas compiled + warm")
     ts = []
-    for _ in range(3):
+    for r in range(3):
         t0 = time.perf_counter()
-        float(pallas_fn(xb, acc0, dl))
+        float(pallas_fn(xb, acc0, dl, jnp.float32(1 + r)))
         ts.append(time.perf_counter() - t0 - DISPATCH_OVERHEAD_S)
     t_pallas = min(ts)
     edges_per_s = n_edges / t_pallas
@@ -183,16 +187,17 @@ def main():
     dg_src = jnp.asarray(csc_src[:sub_edges], jnp.int32)
     wd = jnp.asarray(w[:sub_edges])
     xla_fn = jax.jit(
-        lambda x, ip, sr, wv: full_spmm_sum(
-            x, ip, sr, nk, sub_edges, edge_vals=wv, chunk=1 << 18,
+        lambda x, ip, sr, wv, s: full_spmm_sum(
+            x * (1 + s * 1e-9), ip, sr, nk, sub_edges, edge_vals=wv,
+            chunk=1 << 18,
         )[0, 0],
         static_argnames=(),
     )
     _log("xla baseline compiling")
-    float(xla_fn(x, dg_indptr, dg_src, wd))
+    float(xla_fn(x, dg_indptr, dg_src, wd, jnp.float32(0)))
     _log("xla baseline warm")
     t0 = time.perf_counter()
-    float(xla_fn(x, dg_indptr, dg_src, wd))
+    float(xla_fn(x, dg_indptr, dg_src, wd, jnp.float32(1)))
     t_xla = time.perf_counter() - t0 - DISPATCH_OVERHEAD_S
     xla_edges_per_s = sub_edges / t_xla
 

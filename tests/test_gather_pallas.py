@@ -41,3 +41,16 @@ def test_lut_gather_nonmultiple_tile_sizes():
         elem_dtype=jnp.int32,
     )
     np.testing.assert_array_equal(np.asarray(out), lut[idx])
+
+
+def test_lut_gather_flat2d_matches_column():
+    """flat2d tile output (the layout consumers read without an XLA
+    relayout) is elementwise identical to the [M,1] column path."""
+    rng = np.random.default_rng(3)
+    lut = rng.normal(size=3000).astype(np.float32)
+    idx = rng.integers(0, 3000, size=4096 + 300).astype(np.int32)
+    a = lut_gather(jnp.asarray(lut), jnp.asarray(idx), interpret=True)
+    b = lut_gather(jnp.asarray(lut), jnp.asarray(idx), interpret=True,
+                   flat2d=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(b), lut[idx])
