@@ -192,3 +192,38 @@ def layerwise_inference(
         else:
             raise ValueError(name)
     return h
+
+
+def make_hybrid_spmm(graph: DeviceGraph, dense_t: int = 300,
+                     cache_path: str | None = None):
+    """Hybrid dense-block + gather SpMM closure (ops/spmm_pallas.py,
+    degree-sorted node space handled internally) — measured 1.27x the base
+    banded kernel at Reddit scale (scripts/probe_hybrid.py).  The one-time
+    host layout build is O(E log E); pass ``cache_path`` to persist it."""
+    import os
+
+    import numpy as np
+
+    from bliss_gnn_tpu.ops.spmm_pallas import (
+        DeviceHybridLayout,
+        build_hybrid_layout,
+        load_hybrid_layout,
+        save_hybrid_layout,
+        spmm_via_pallas_hybrid,
+    )
+
+    if cache_path and os.path.exists(cache_path):
+        layout = load_hybrid_layout(cache_path)
+    else:
+        layout = build_hybrid_layout(
+            np.asarray(graph.csc_indptr),
+            np.asarray(graph.csc_src)[: graph.n_edges],
+            None, dense_t=dense_t,
+        )
+        if cache_path:
+            save_hybrid_layout(cache_path, layout)
+    dl = DeviceHybridLayout.from_host(layout)
+
+    def spmm(feat):
+        return spmm_via_pallas_hybrid(feat, dl, graph.n_nodes)
+    return spmm

@@ -902,3 +902,42 @@ def spmm_via_pallas_hybrid(
     xb = band_features(xp, m.band, m.n_bands)
     out = hybrid_spmm(xb, layout, interpret=interpret)[: m.n_nodes, :f]
     return jnp.zeros_like(out).at[layout.perm].set(out)
+
+
+_HY_META_KEYS = ("n_nodes", "n_edges", "band", "wr", "sub", "et_d",
+                 "n_bands", "n_wins", "nt_dense", "dense_edges", "dense_t")
+_BD_META_KEYS = ("n_nodes", "n_edges", "band", "wr", "et", "n_bands",
+                 "n_wins", "n_tiles", "nt_per_band")
+
+
+def save_hybrid_layout(path: str, h: HybridLayout) -> None:
+    """Persist a hybrid layout (the host build is O(E log E) — ~3 min at
+    115M edges — and identical across runs on a static graph)."""
+    g = h.gather
+    np.savez(
+        path, perm=h.perm, d_win=h.d_win, d_sub=h.d_sub,
+        d_first_win=h.d_first_win, d_first_blk=h.d_first_blk,
+        d_last_blk=h.d_last_blk, d_dst_rel=h.d_dst_rel,
+        d_src_rel=h.d_src_rel, d_w=h.d_w,
+        g_tile_win=g.tile_win, g_tile_first=g.tile_first,
+        g_src_rel=g.src_rel, g_dst_rel=g.dst_rel, g_edge_w=g.edge_w,
+        **{f"gm_{k}": getattr(g.meta, k) for k in _BD_META_KEYS},
+        **{f"hm_{k}": getattr(h.meta, k) for k in _HY_META_KEYS},
+    )
+
+
+def load_hybrid_layout(path: str) -> HybridLayout:
+    d = np.load(path)
+    gmeta = BandedMeta(**{k: int(d[f"gm_{k}"]) for k in _BD_META_KEYS})
+    gather = BandedLayout(
+        meta=gmeta, tile_win=d["g_tile_win"], tile_first=d["g_tile_first"],
+        src_rel=d["g_src_rel"], dst_rel=d["g_dst_rel"],
+        edge_w=d["g_edge_w"], edge_perm=np.zeros((0,), np.int64),
+    )
+    hmeta = HybridMeta(**{k: int(d[f"hm_{k}"]) for k in _HY_META_KEYS})
+    return HybridLayout(
+        meta=hmeta, perm=d["perm"], d_win=d["d_win"], d_sub=d["d_sub"],
+        d_first_win=d["d_first_win"], d_first_blk=d["d_first_blk"],
+        d_last_blk=d["d_last_blk"], d_dst_rel=d["d_dst_rel"],
+        d_src_rel=d["d_src_rel"], d_w=d["d_w"], gather=gather,
+    )
