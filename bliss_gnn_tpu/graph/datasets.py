@@ -160,11 +160,16 @@ def _load_planetoid(name: str) -> Tuple[Graph, int, bool]:
     test_sorted = np.sort(test_idx)
     if name == "citeseer":
         # citeseer has isolated test nodes missing from tx/ty
+        # rows are placed at SORTED positions (the standard Kipf/GCN loader:
+        # tx_extended[test_idx_range - min] = tx); the reorder swap below
+        # then moves each row to its true (shuffled) node id.  Indexing by
+        # the unsorted test_idx here would pre-place rows at final positions
+        # and the swap would scramble them.
         tx_ext = np.zeros((len(test_range), x.shape[1]), dtype=np.float32)
-        tx_ext[test_idx - test_idx.min(), :] = np.asarray(tx.todense())
+        tx_ext[test_sorted - test_idx.min(), :] = np.asarray(tx.todense())
         tx = sp.csr_matrix(tx_ext)
         ty_ext = np.zeros((len(test_range), y.shape[1]))
-        ty_ext[test_idx - test_idx.min(), :] = ty
+        ty_ext[test_sorted - test_idx.min(), :] = ty
         ty = ty_ext
     # un-shuffle the test rows: position test_idx[i] gets the i-th test row
     # (which vstack placed at sorted position test_sorted[i]) — the standard

@@ -214,6 +214,16 @@ def make_hybrid_spmm(graph: DeviceGraph, dense_t: int = 300,
 
     if cache_path and os.path.exists(cache_path):
         layout = load_hybrid_layout(cache_path)
+        lm = layout.meta
+        if (lm.n_nodes, lm.n_edges, lm.dense_t) != (
+            graph.n_nodes, graph.n_edges, dense_t
+        ):
+            raise ValueError(
+                f"hybrid layout cache {cache_path} was built for "
+                f"(n={lm.n_nodes}, e={lm.n_edges}, dense_t={lm.dense_t}), "
+                f"not this graph (n={graph.n_nodes}, e={graph.n_edges}, "
+                f"dense_t={dense_t}) — delete it or pass a different path"
+            )
     else:
         layout = build_hybrid_layout(
             np.asarray(graph.csc_indptr),

@@ -798,19 +798,22 @@ class DeviceHybridLayout:
     d_dst_rel: jax.Array
     d_src_rel: jax.Array
     d_w: jax.Array
-    perm: jax.Array
+    perm: jax.Array  # [N] new -> old node id
+    inv_perm: jax.Array  # [N] old -> new (the unpermute is a row TAKE)
     gather: DeviceBandedLayout
     meta: HybridMeta
 
     @staticmethod
     def from_host(h: HybridLayout) -> "DeviceHybridLayout":
+        inv = np.empty(len(h.perm), np.int32)
+        inv[h.perm] = np.arange(len(h.perm), dtype=np.int32)
         return DeviceHybridLayout(
             d_win=jnp.asarray(h.d_win), d_first_win=jnp.asarray(h.d_first_win),
             d_first_blk=jnp.asarray(h.d_first_blk),
             d_last_blk=jnp.asarray(h.d_last_blk), d_sub=jnp.asarray(h.d_sub),
             d_dst_rel=jnp.asarray(h.d_dst_rel),
             d_src_rel=jnp.asarray(h.d_src_rel), d_w=jnp.asarray(h.d_w),
-            perm=jnp.asarray(h.perm, jnp.int32),
+            perm=jnp.asarray(h.perm, jnp.int32), inv_perm=jnp.asarray(inv),
             gather=DeviceBandedLayout.from_host(h.gather), meta=h.meta,
         )
 
@@ -818,7 +821,8 @@ class DeviceHybridLayout:
 jax.tree_util.register_pytree_node(
     DeviceHybridLayout,
     lambda d: ((d.d_win, d.d_first_win, d.d_first_blk, d.d_last_blk, d.d_sub,
-                d.d_dst_rel, d.d_src_rel, d.d_w, d.perm, d.gather), d.meta),
+                d.d_dst_rel, d.d_src_rel, d.d_w, d.perm, d.inv_perm,
+                d.gather), d.meta),
     lambda meta, ch: DeviceHybridLayout(*ch, meta=meta),
 )
 
@@ -901,7 +905,9 @@ def spmm_via_pallas_hybrid(
     xp = jnp.take(x, layout.perm, axis=0)
     xb = band_features(xp, m.band, m.n_bands)
     out = hybrid_spmm(xb, layout, interpret=interpret)[: m.n_nodes, :f]
-    return jnp.zeros_like(out).at[layout.perm].set(out)
+    # unpermute as a row TAKE through the precomputed inverse (a [N, F] row
+    # scatter is the slow XLA path — CLAUDE.md measured rules)
+    return jnp.take(out, layout.inv_perm, axis=0)[:n_nodes]
 
 
 _HY_META_KEYS = ("n_nodes", "n_edges", "band", "wr", "sub", "et_d",

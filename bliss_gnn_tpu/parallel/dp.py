@@ -110,8 +110,7 @@ def make_dp_train_step(
                 for (eid, dr) in deltas
             ]
             exp3 = apply_exp3_deltas(
-                state.exp3_weights, gathered, normalize=exp3_normalize,
-                assume_unique=False,  # shards may touch the same edge
+                state.exp3_weights, gathered, normalize=exp3_normalize
             )
         else:
             exp3 = state.exp3_weights

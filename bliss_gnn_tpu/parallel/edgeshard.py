@@ -106,10 +106,11 @@ def make_sharded_spmm(mesh: Mesh, dst_per_shard: int, axis: str = "dp"):
         w, mask = e_w[0], e_mask[0]
         msg = jnp.take(x, src, axis=0).astype(jnp.float32)
         msg = msg * jnp.where(mask, w, 0.0)[:, None]
+        # NOT indices_are_sorted: masked tail slots carry dst_rel=0 after
+        # larger indices (they add 0, but the promise would be a lie)
         return jax.ops.segment_sum(
             msg, jnp.where(mask, dst_rel, 0),
             num_segments=dst_per_shard,
-            indices_are_sorted=True,
         )
 
     fn = shard_map(
@@ -225,21 +226,29 @@ def make_ring_spmm(mesh: Mesh, shards_meta: Tuple[int, int],
         x0 = x_shard.astype(jnp.float32)
         acc0 = jnp.zeros((node_per, x_shard.shape[-1]), jnp.float32)
 
-        def body(k, carry):
-            x_cur, acc = carry
+        def fold(k, x_cur, acc):
             b = jax.lax.rem(me - k + S, S)  # block resident at step k
             src = jax.lax.dynamic_index_in_dim(e_src_rel[0], b, 0, False)
             dstr = jax.lax.dynamic_index_in_dim(e_dst_rel[0], b, 0, False)
             w = jax.lax.dynamic_index_in_dim(e_w[0], b, 0, False)
             msg = jnp.take(x_cur, src, axis=0) * w[:, None]
-            acc = acc + jax.ops.segment_sum(
-                msg, dstr, num_segments=node_per, indices_are_sorted=True,
+            # NOT indices_are_sorted: zero-padded bucket tails carry
+            # dst_rel=0 after larger indices (the padding adds exactly 0,
+            # but the sortedness promise would be a lie)
+            return acc + jax.ops.segment_sum(
+                msg, dstr, num_segments=node_per,
             )
+
+        def body(k, carry):
+            x_cur, acc = carry
+            acc = fold(k, x_cur, acc)
             x_nxt = jax.lax.ppermute(x_cur, axis, perm)
             return (x_nxt, acc)
 
-        _, acc = jax.lax.fori_loop(0, S, body, (x0, acc0))
-        return acc
+        # S-1 rotations: the last resident block is folded outside the loop
+        # so no final (discarded) ppermute is paid
+        x_last, acc = jax.lax.fori_loop(0, S - 1, body, (x0, acc0))
+        return fold(S - 1, x_last, acc)
 
     fn = shard_map(
         local,

@@ -714,7 +714,6 @@ def apply_exp3_deltas(
     exp3_weights: jax.Array,
     deltas: Sequence[Tuple[jax.Array, jax.Array]],
     normalize: bool = True,
-    assume_unique: bool = True,
 ) -> jax.Array:
     """w[eid] *= exp(dr), then L1-normalize each row
     (bandit_sampler.py:248-249).  Scatter-multiply runs in the state dtype
@@ -741,13 +740,14 @@ def apply_exp3_deltas(
     L = len(deltas)
     row_len = exp3_weights.shape[0] // L
     # Slots with dr == 0 (padding, or zero reward) have multiplier exactly 1;
-    # remap them to the row's last EDGE_PAD slot (weight 0, never sampled).
-    # With one delta list per layer the remaining indices are then truthfully
-    # unique and XLA skips the duplicate-combining pass of the scatter
-    # (measured on v5e, scripts/probe_exp3_apply.py).  ``assume_unique``
-    # must be False when deltas were all-gathered across data-parallel
-    # shards: two shards may update the SAME edge, and those updates must
-    # compose multiplicatively (parallel/dp.py).
+    # remap them to the row's last EDGE_PAD slot (weight 0, never sampled) —
+    # this collapses the big pile of padded index-0 duplicates the scatter's
+    # combine pass would otherwise sort through.  unique_indices is NOT
+    # claimed: duplicate eids with real multipliers are legal (the same edge
+    # updated by several data-parallel shards, or a repeated seed) and must
+    # compose multiplicatively; the honest gain of the uniqueness promise
+    # was ~0.4 ms/step (scripts/probe_exp3_apply.py) — not worth an
+    # implementation-defined combine.
     flat_idx = jnp.concatenate([
         jnp.where(
             dr.reshape(-1) != 0,
@@ -760,9 +760,7 @@ def apply_exp3_deltas(
         jnp.exp(dr).astype(exp3_weights.dtype).reshape(-1)
         for _, dr in deltas
     ])
-    out = exp3_weights.at[flat_idx].multiply(
-        mult, unique_indices=assume_unique
-    )
+    out = exp3_weights.at[flat_idx].multiply(mult)
     if normalize:
         out = normalize_exp3_weights(out, L)
     return out

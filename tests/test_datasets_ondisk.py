@@ -24,16 +24,17 @@ def data_root(tmp_path, monkeypatch):
     return tmp_path
 
 
-def _write_planetoid(d, name, n_known=8, n_test=2, f=6, c=3, gap=False):
+def _write_planetoid(d, name, n_known=8, n_test=3, f=6, c=3, gap=False):
     """ind.<name>.{x,y,tx,ty,allx,ally,graph,test.index} family.
 
-    ``gap=True`` leaves a hole in test.index (the citeseer isolated-node
-    quirk the loader special-cases, load_graph upstream does the same)."""
+    test.index is SHUFFLED, as in the real datasets — tx row i belongs to
+    node test_idx[i], and the loader must reorder (a sorted fixture cannot
+    catch a scrambled reorder).  ``gap=True`` additionally leaves a hole in
+    the index (the citeseer isolated-node quirk)."""
     rng = np.random.default_rng(0)
     os.makedirs(d, exist_ok=True)
-    test_idx = np.array([n_known, n_known + 2]) if gap else np.arange(
-        n_known, n_known + n_test
-    )
+    test_idx = (np.array([n_known + 3, n_known, n_known + 1]) if gap
+                else np.array([n_known + 2, n_known, n_known + 1]))
     n = n_known + (test_idx.max() - test_idx.min() + 1 if gap else n_test)
     allx = sp.csr_matrix(rng.random((n_known, f)).astype(np.float32))
     tx = sp.csr_matrix(rng.random((n_test, f)).astype(np.float32))
@@ -46,11 +47,11 @@ def _write_planetoid(d, name, n_known=8, n_test=2, f=6, c=3, gap=False):
         with open(os.path.join(d, f"ind.{name}.{suffix}"), "wb") as fh:
             pickle.dump(obj, fh)
     np.savetxt(os.path.join(d, f"ind.{name}.test.index"), test_idx, fmt="%d")
-    return n, c, test_idx
+    return n, c, test_idx, np.asarray(tx.todense()), ty
 
 
 def test_planetoid_loader(data_root):
-    n, c, test_idx = _write_planetoid(data_root / "pubmed", "pubmed")
+    n, c, test_idx, tx, ty = _write_planetoid(data_root / "pubmed", "pubmed")
     g, n_classes, multilabel = ds.load_dataset("pubmed")
     assert isinstance(g, Graph)
     assert (g.n_nodes, n_classes, multilabel) == (n, c, False)
@@ -59,19 +60,30 @@ def test_planetoid_loader(data_root):
     assert g.ndata["test_mask"].sum() == len(test_idx)
     assert g.ndata["test_mask"][test_idx].all()
     assert g.n_edges > 0  # symmetrized adjacency dict
+    # tx row i belongs to node test_idx[i] — the reorder must hold for a
+    # SHUFFLED index (the real datasets' test.index is shuffled)
+    np.testing.assert_allclose(g.ndata["features"][test_idx], tx, rtol=1e-6)
+    np.testing.assert_array_equal(g.ndata["labels"][test_idx],
+                                  ty.argmax(axis=1))
 
 
 def test_planetoid_citeseer_isolated_test_nodes(data_root):
-    n, c, test_idx = _write_planetoid(
+    n, c, test_idx, tx, ty = _write_planetoid(
         data_root / "citeseer", "citeseer", gap=True
     )
     g, n_classes, _ = ds.load_dataset("citeseer")
     assert g.n_nodes == n
     assert n_classes == c
     # the hole node exists, carries zero features and label 0
-    hole = test_idx.min() + 1
-    assert not g.ndata["test_mask"][hole]
-    assert np.all(g.ndata["features"][hole] == 0)
+    holes = sorted(set(range(test_idx.min(), test_idx.max() + 1))
+                   - set(test_idx.tolist()))
+    for hole in holes:
+        assert not g.ndata["test_mask"][hole]
+        assert np.all(g.ndata["features"][hole] == 0)
+    # shuffled-index reorder correctness with the gap extension
+    np.testing.assert_allclose(g.ndata["features"][test_idx], tx, rtol=1e-6)
+    np.testing.assert_array_equal(g.ndata["labels"][test_idx],
+                                  ty.argmax(axis=1))
 
 
 def _write_saint(d, n=12, f=5, c=4, multilabel=False):
