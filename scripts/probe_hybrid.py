@@ -17,6 +17,8 @@ enable_compilation_cache()
 
 SCALE = float(os.environ.get("BLISS_PROBE_SCALE", "1.0"))
 DENSE_T = int(os.environ.get("BLISS_HYBRID_T", "300"))
+SUB = int(os.environ.get("BLISS_HYBRID_SUB", "256"))
+ET_D = int(os.environ.get("BLISS_HYBRID_ETD", "512"))
 
 import bench  # noqa: E402
 
@@ -47,7 +49,7 @@ from bliss_gnn_tpu.ops.spmm_pallas import (  # noqa: E402
 
 w = np.random.default_rng(1).random(n_edges).astype(np.float32)
 
-cache = os.path.join(bench.CACHE, f"hybrid_v1_{n_nodes}_{n_edges}_{DENSE_T}.npz")
+cache = os.path.join(bench.CACHE, f"hybrid_v1_{n_nodes}_{n_edges}_{DENSE_T}_{SUB}_{ET_D}.npz")
 if os.path.exists(cache):
     d = np.load(cache)
     from bliss_gnn_tpu.ops.spmm_pallas import BandedLayout, BandedMeta
@@ -69,7 +71,7 @@ if os.path.exists(cache):
         d_src_rel=d["d_src_rel"], d_w=d["d_w"], gather=gather)
 else:
     t0 = time.time()
-    hl = build_hybrid_layout(indptr, csc_src, w, dense_t=DENSE_T)
+    hl = build_hybrid_layout(indptr, csc_src, w, dense_t=DENSE_T, sub=SUB, et_d=ET_D)
     log(f"hybrid layout built in {time.time()-t0:.0f}s")
     g = hl.gather
     np.savez(
@@ -113,6 +115,13 @@ for r in range(3):
     ts.append(time.perf_counter() - t0 - 0.033)
 t_h = min(ts)
 log(f"hybrid: {t_h*1e3:.0f} ms -> {n_edges/t_h/1e6:.1f} M edges/s")
+
+if os.environ.get("BLISS_HYBRID_SKIP_BASE"):
+    import sys
+    out_h = jax.jit(lambda xb, dl: hybrid_spmm(xb, dl))(xb, dl)
+    rows = np.sort(rng.choice(n_nodes, 8, replace=False))
+    log(f"sample row sums: {np.asarray(out_h[rows]).sum(axis=1)[:4]}")
+    sys.exit(0)
 
 # base kernel on the same graph (canonical space, cached layout from bench)
 bl = bench._cached_layout(indptr, csc_src, w)
