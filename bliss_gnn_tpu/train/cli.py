@@ -92,6 +92,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "measured maxima and re-jitting (0 disables)")
     p.add_argument("--refit-block-edge-slack", type=float, default=2.0)
     p.add_argument("--refit-frontier-slack", type=float, default=1.5)
+    p.add_argument("--resume", type=str, default="",
+                   help="orbax checkpoint dir to restore (params, opt "
+                        "state, EXP3 weights, PRNG key, step) before "
+                        "training — restart-from-step")
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a jax.profiler trace of N training steps")
     p.add_argument("--steps-per-call", type=int, default=1,
@@ -144,6 +148,7 @@ def config_from_args(args) -> "TrainConfig":
         refit_block_edge_slack=args.refit_block_edge_slack,
         refit_frontier_slack=args.refit_frontier_slack,
         profile_steps=args.profile_steps,
+        resume=args.resume,
         use_uva=args.use_uva,
         cache_size=args.cache_size,
         steps_per_call=args.steps_per_call,

@@ -119,6 +119,7 @@ class TrainConfig:
     exp3_dtype: str = "bfloat16"
     # observability: capture a jax.profiler trace of steps [2, 2+profile_steps)
     profile_steps: int = 0
+    resume: str = ""  # checkpoint dir to restore before training (restart-from-step)
     # UVA analog: keep features in host RAM behind an HBM cache
     # (graph/featurecache.py; train_lightning.py:376-380,:394)
     use_uva: bool = False
@@ -220,6 +221,14 @@ class Trainer:
             lambda w: normalize_exp3_weights(w, cfg.num_layers),
             donate_argnums=0,
         )
+        if cfg.resume:
+            # restart-from-step (SURVEY.md §5.3): restore the full state
+            # pytree (params, opt_state, EXP3 arm weights, PRNG key, step)
+            # and continue counting from the checkpointed step
+            self.load_checkpoint(cfg.resume)
+            self.global_step = int(self.state.step)
+            print(f"[resume] restored step {self.global_step} from "
+                  f"{cfg.resume}")
 
     # -- static-shape (re)build -----------------------------------------
     def _build_for_batch_size(self, batch_size: int, init_state: bool):

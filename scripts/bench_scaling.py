@@ -1,0 +1,94 @@
+"""Data-parallel weak-scaling harness: fused-step throughput at 1..S
+devices (BASELINE.md north star: >=80% scaling efficiency at N>=2 hosts).
+
+On this machine only a virtual CPU mesh exists, so the printed numbers
+exercise the HARNESS (sharding compiles, collectives execute, efficiency
+math) rather than ICI bandwidth; on a real pod slice the same script gives
+the headline number.
+
+JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    PYTHONPATH=. python scripts/bench_scaling.py
+"""
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault(
+    "XLA_FLAGS",
+    (os.environ.get("XLA_FLAGS", "")
+     + " --xla_force_host_platform_device_count=8").strip(),
+)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from bliss_gnn_tpu.graph.datasets import synthetic_graph  # noqa: E402
+from bliss_gnn_tpu.graph.structure import Graph, normalized_edata  # noqa: E402
+from bliss_gnn_tpu.models.gnn import build_model  # noqa: E402
+from bliss_gnn_tpu.parallel.dp import make_dp_train_step  # noqa: E402
+from bliss_gnn_tpu.parallel.mesh import make_mesh  # noqa: E402
+from bliss_gnn_tpu.sampling.block import CapacityPlan  # noqa: E402
+from bliss_gnn_tpu.sampling.samplers import (  # noqa: E402
+    SamplerConfig,
+    init_exp3_weights,
+    sample_blocks,
+)
+from bliss_gnn_tpu.train.steps import TrainState, make_optimizer  # noqa: E402
+
+LOCAL_BATCH = int(os.environ.get("BLISS_SCALE_BATCH", "16"))
+STEPS = int(os.environ.get("BLISS_SCALE_STEPS", "8"))
+
+
+def main():
+    g, nc, ml = synthetic_graph(2000, 30000, 32, 8, seed=0)
+    g = Graph.canonicalize(g)
+    g.edata["w"] = normalized_edata(g)
+    dg = g.to_device()
+    cfg = SamplerConfig(kind="poisson-bandit", fanouts=(32, 16))
+    plan = CapacityPlan.build(LOCAL_BATCH, cfg.fanouts, g.n_nodes, g.n_edges,
+                              kind=cfg.kind)
+    model = build_model("sage", 32, nc, 2)
+    tx = make_optimizer(0.01, 100)
+    exp3 = init_exp3_weights(2, g.n_edges)
+    seeds0 = jnp.arange(LOCAL_BATCH, dtype=jnp.int32)
+    blocks, _ = sample_blocks(dg, cfg, plan, jax.random.PRNGKey(0), seeds0,
+                              jnp.ones(LOCAL_BATCH, bool), exp3)
+    x = jnp.take(dg.ndata["features"], blocks[0].src_gids, axis=0)
+    params = model.init(jax.random.PRNGKey(1), blocks, x)
+
+    n_dev_avail = jax.device_count()
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev_avail]
+    base_rate = None
+    rng = np.random.default_rng(0)
+    print(f"devices available: {n_dev_avail}; local batch {LOCAL_BATCH}")
+    for S in sizes:
+        mesh = make_mesh(S)
+        # fresh copies: the DP step donates the state, which would consume
+        # the shared params/exp3 leaves across mesh sizes
+        p = jax.tree.map(jnp.array, params)
+        state = TrainState(params=p, opt_state=tx.init(p),
+                           exp3_weights=jnp.array(exp3),
+                           key=jax.random.PRNGKey(2),
+                           step=jnp.zeros((), jnp.int32))
+        step = make_dp_train_step(mesh, dg, model, tx, cfg, plan, ml)
+        B = LOCAL_BATCH * S
+        seeds = jnp.asarray(rng.integers(0, g.n_nodes, B).astype(np.int32))
+        smask = jnp.ones(B, bool)
+        state, m = step(state, seeds, smask, dg)  # compile + warm
+        jax.block_until_ready(m["train_loss"])
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, m = step(state, seeds, smask, dg)
+        jax.block_until_ready(m["train_loss"])
+        dt = (time.perf_counter() - t0) / STEPS
+        rate = B / dt  # global seeds/s
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * S)
+        print(f"S={S:2d}: {dt*1e3:7.1f} ms/step, {rate:9.0f} seeds/s, "
+              f"weak-scaling efficiency {eff:6.1%}")
+
+
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+    main()

@@ -101,3 +101,44 @@ def test_training_gcn_with_ladies(tmp_path):
     tr.fit()
     res = tr.final_eval()
     assert res["Train"] > 0.5, res
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """--resume restores the full state (incl. EXP3 weights and step) and
+    training continues from the checkpointed step (SURVEY.md §5.3 —
+    restart-from-step, which the reference lacks)."""
+    import os
+
+    g0, nc0, ml0 = synthetic_graph(400, 3000, 16, 4, seed=3)
+    g0 = Graph.canonicalize(g0)
+    g0.edata["w"] = normalized_edata(g0)
+    cfg0 = TrainConfig(
+        dataset="synth", model="sage", sampler="poisson-bandit",
+        fan_out=(32, 16), batch_size=32, num_hidden=32, num_layers=2,
+        lr=0.01, num_epochs=3, logdir=str(tmp_path), lr_step_size=100,
+        disable_checkpoint=False,
+    )
+    tr = Trainer(cfg0, graph=g0, n_classes=nc0, multilabel=ml0)
+    tr.fit()
+    ckpt = os.path.join(tr.run_dir, "checkpoints", "best")
+    assert os.path.exists(ckpt)
+    saved_step = int(tr.best_state.step)
+    assert saved_step > 0
+
+    g, nc, ml = synthetic_graph(400, 3000, 16, 4, seed=3)
+    g = Graph.canonicalize(g)
+    g.edata["w"] = normalized_edata(g)
+    cfg = TrainConfig(
+        dataset="synth", model="sage", sampler="poisson-bandit",
+        fan_out=(32, 16), batch_size=32, num_hidden=32, num_layers=2,
+        lr=0.01, num_epochs=4, logdir=str(tmp_path), lr_step_size=100,
+        disable_checkpoint=True, resume=ckpt,
+    )
+    tr2 = Trainer(cfg, graph=g, n_classes=nc, multilabel=ml)
+    assert tr2.global_step == saved_step
+    np.testing.assert_array_equal(
+        np.asarray(tr2.state.exp3_weights, np.float32),
+        np.asarray(tr.best_state.exp3_weights, np.float32),
+    )
+    tr2.fit()
+    assert tr2.global_step > saved_step
