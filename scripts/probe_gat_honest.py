@@ -1,0 +1,86 @@
+"""Honest (perturbed-input) re-measure of the banded GAT kernel vs the
+3-pass XLA streaming softmax — the original numbers predate the discovery
+that the axon tunnel memoizes identical repeat dispatches (CLAUDE.md).
+
+PYTHONPATH=.:/root/.axon_site python scripts/probe_gat_honest.py
+"""
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bliss_gnn_tpu.utils.logging import enable_compilation_cache
+
+enable_compilation_cache()
+
+SCALE = float(os.environ.get("BLISS_PROBE_SCALE", "1.0"))
+
+import bench  # noqa: E402
+
+bench.N_NODES = int(232_965 * SCALE)
+bench.N_EDGES = int((114_615_892 + 232_965) * SCALE)
+T0 = time.time()
+
+
+def log(m):
+    print(f"[gat +{time.time()-T0:.0f}s] {m}", flush=True)
+
+
+indptr, csc_src = bench.build_graph()
+n_edges = len(csc_src)
+n_nodes = bench.N_NODES
+log(f"graph: {n_nodes} nodes {n_edges} edges")
+
+from bliss_gnn_tpu.ops.gat_pallas import banded_gat_attention  # noqa: E402
+from bliss_gnn_tpu.ops.fullgraph import full_gat_attention  # noqa: E402
+from bliss_gnn_tpu.ops.spmm_pallas import (  # noqa: E402
+    DeviceBandedLayout,
+)
+
+H, O = 1, 256  # the GATv2 output-layer shape class
+rng = np.random.default_rng(0)
+feat = jnp.asarray(rng.normal(size=(n_nodes, H, O)).astype(np.float32) * 0.1)
+attn = jnp.asarray(rng.normal(size=(1, H, O)).astype(np.float32) * 0.1)
+
+bl = bench._cached_layout(indptr, csc_src, np.ones(n_edges, np.float32),
+                          band=8192)
+dl = DeviceBandedLayout.from_host(bl)
+jax.block_until_ready(dl.src_rel)
+log("layout on device")
+
+pallas_fn = jax.jit(
+    lambda f, a, dl, s: banded_gat_attention(
+        f * (1 + s * 1e-9), a, 0.2, dl, n_nodes
+    )[0, 0, 0]
+)
+float(pallas_fn(feat, attn, dl, jnp.float32(0)))
+log("pallas compiled+warm")
+ts = []
+for r in range(3):
+    t0 = time.perf_counter()
+    float(pallas_fn(feat, attn, dl, jnp.float32(1 + r)))
+    ts.append(time.perf_counter() - t0 - 0.033)
+t_p = min(ts)
+log(f"banded GAT: {t_p*1e3:.0f} ms -> {n_edges/t_p/1e6:.1f} M edges/s")
+
+ip = jnp.asarray(indptr, jnp.int32)
+sp = jnp.asarray(csc_src, jnp.int32)
+xla_fn = jax.jit(
+    lambda f, a, ip, sp, s: full_gat_attention(
+        f * (1 + s * 1e-9), a, 0.2, ip, sp, n_nodes, n_edges
+    )[0, 0, 0]
+)
+log("xla streaming compiling")
+float(xla_fn(feat, attn, ip, sp, jnp.float32(0)))
+log("xla compiled+warm")
+ts = []
+for r in range(2):
+    t0 = time.perf_counter()
+    float(xla_fn(feat, attn, ip, sp, jnp.float32(1 + r)))
+    ts.append(time.perf_counter() - t0 - 0.033)
+t_x = min(ts)
+log(f"xla 3-pass: {t_x*1e3:.0f} ms -> {n_edges/t_x/1e6:.1f} M edges/s "
+    f"(banded speedup {t_x/t_p:.1f}x)")
