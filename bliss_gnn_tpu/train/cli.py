@@ -92,6 +92,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "measured maxima and re-jitting (0 disables)")
     p.add_argument("--refit-block-edge-slack", type=float, default=2.0)
     p.add_argument("--refit-frontier-slack", type=float, default=1.5)
+    p.add_argument("--inference-backend", type=str, default="auto",
+                   choices=["auto", "xla", "pallas", "hybrid"],
+                   help="full-graph final-eval SpMM backend (auto = pallas "
+                        "on TPU above 2M edges)")
     p.add_argument("--resume", type=str, default="",
                    help="orbax checkpoint dir to restore (params, opt "
                         "state, EXP3 weights, PRNG key, step) before "
@@ -149,6 +153,7 @@ def config_from_args(args) -> "TrainConfig":
         refit_frontier_slack=args.refit_frontier_slack,
         profile_steps=args.profile_steps,
         resume=args.resume,
+        inference_backend=args.inference_backend,
         use_uva=args.use_uva,
         cache_size=args.cache_size,
         steps_per_call=args.steps_per_call,

@@ -648,15 +648,24 @@ class Trainer:
         )
         spmm = None
         gat_attn = None
-        use_pallas = cfg.inference_backend == "pallas" or (
+        use_pallas = cfg.inference_backend in ("pallas", "hybrid") or (
             cfg.inference_backend == "auto"
             and self.host_graph.n_edges > 2_000_000
             and jax.default_backend() not in ("cpu",)
         )
         if use_pallas and cfg.model in ("sage", "gcn"):
-            from bliss_gnn_tpu.models.inference import make_pallas_spmm
+            if cfg.inference_backend == "hybrid":
+                # degree-sorted dense-block path — fastest at wide features
+                # (F > 256); hidden layers would prefer the packed banded
+                # kernel, so "hybrid" is an explicit opt-in, not the auto
+                # default (ops/spmm_pallas.py hybrid section)
+                from bliss_gnn_tpu.models.inference import make_hybrid_spmm
 
-            spmm = make_pallas_spmm(self.graph)
+                spmm = make_hybrid_spmm(self.graph)
+            else:
+                from bliss_gnn_tpu.models.inference import make_pallas_spmm
+
+                spmm = make_pallas_spmm(self.graph)
         if use_pallas and cfg.model == "gat":
             from bliss_gnn_tpu.models.inference import make_pallas_gat
 
