@@ -238,3 +238,21 @@ def make_hybrid_spmm(graph: DeviceGraph, dense_t: int = 300,
     def spmm(feat):
         return spmm_via_pallas_hybrid(feat, dl, graph.n_nodes)
     return spmm
+
+
+def make_dual_spmm(graph: DeviceGraph, dense_t: int = 300,
+                   cache_path: str | None = None):
+    """Best-of-both full-graph SpMM: the degree-sorted hybrid kernel for
+    wide features (F > 256 — 173 vs 137 M edges/s at Reddit F=602) and the
+    bf16 pair-packed banded kernel for hidden layers (F <= 256 — 367 vs
+    172 M edges/s; scripts/probe_packed_honest.py).  Builds both layouts
+    once per graph (~2.3 GB HBM at Reddit scale)."""
+    hybrid = make_hybrid_spmm(graph, dense_t=dense_t, cache_path=cache_path)
+    banded = make_pallas_spmm(graph)
+
+    def spmm(feat):
+        if feat.shape[1] > 256:
+            return hybrid(feat)
+        return banded(feat)
+
+    return spmm

@@ -655,13 +655,12 @@ class Trainer:
         )
         if use_pallas and cfg.model in ("sage", "gcn"):
             if cfg.inference_backend == "hybrid":
-                # degree-sorted dense-block path — fastest at wide features
-                # (F > 256); hidden layers would prefer the packed banded
-                # kernel, so "hybrid" is an explicit opt-in, not the auto
-                # default (ops/spmm_pallas.py hybrid section)
-                from bliss_gnn_tpu.models.inference import make_hybrid_spmm
+                # per-layer routing: degree-sorted dense-block kernel for
+                # wide features, packed banded kernel for hidden layers —
+                # explicit opt-in (costs a second layout build + HBM)
+                from bliss_gnn_tpu.models.inference import make_dual_spmm
 
-                spmm = make_hybrid_spmm(self.graph)
+                spmm = make_dual_spmm(self.graph)
             else:
                 from bliss_gnn_tpu.models.inference import make_pallas_spmm
 
