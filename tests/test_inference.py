@@ -103,3 +103,25 @@ def test_layerwise_inference_pallas_backend_interpret(small_synth):
         spmm_pallas.spmm_via_pallas = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_dual_spmm_routing(monkeypatch):
+    """make_dual_spmm routes F>256 to the hybrid closure and F<=256 to the
+    packed banded closure."""
+    import jax.numpy as jnp
+
+    import bliss_gnn_tpu.models.inference as I
+
+    calls = []
+    monkeypatch.setattr(
+        I, "make_hybrid_spmm",
+        lambda g, **kw: lambda f: calls.append(("hybrid", f.shape[1])) or f,
+    )
+    monkeypatch.setattr(
+        I, "make_pallas_spmm",
+        lambda g, **kw: lambda f: calls.append(("banded", f.shape[1])) or f,
+    )
+    spmm = I.make_dual_spmm(None)
+    spmm(jnp.zeros((4, 602)))
+    spmm(jnp.zeros((4, 256)))
+    assert calls == [("hybrid", 602), ("banded", 256)]
