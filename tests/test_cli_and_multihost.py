@@ -1,0 +1,75 @@
+"""CLI k-runs reduction (train_lightning.py:711-733 parity) and multi-host
+helper logic (single-process degradation + global mesh on the CPU mesh)."""
+import csv
+import os
+
+import numpy as np
+import jax
+
+from bliss_gnn_tpu.train.cli import build_argparser, config_from_args, reduce_runs
+from bliss_gnn_tpu.parallel import multihost
+
+
+def _write_run(base, version, series):
+    d = os.path.join(base, f"version_{version}")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "metrics.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["step", "name", "value", "wall_time"])
+        for name, step, value in series:
+            w.writerow([step, name, value, 0.0])
+
+
+def test_reduce_runs_mean_std(tmp_path):
+    """k-runs mean/std CSV reduction (the tensorboard_reducer analog)."""
+    base = os.path.join(tmp_path, "runX")
+    _write_run(base, 0, [("train_loss", 1, 2.0), ("train_loss", 2, 1.0)])
+    _write_run(base, 1, [("train_loss", 1, 4.0), ("train_loss", 2, 3.0)])
+    reduce_runs(str(tmp_path), "runX", 2)
+    out = os.path.join(f"{tmp_path}_reduced", "runX_2.csv")
+    assert os.path.exists(out)
+    with open(out) as f:
+        rows = {(r["name"], int(r["step"])): r for r in csv.DictReader(f)}
+    r1 = rows[("train_loss", 1)]
+    assert float(r1["mean"]) == 3.0
+    assert float(r1["std"]) == 1.0
+    assert int(r1["n"]) == 2
+    r2 = rows[("train_loss", 2)]
+    assert float(r2["mean"]) == 2.0
+
+
+def test_cli_full_flag_surface_parses():
+    """Every reference flag (train_lightning.py:489-552) plus the surfaced
+    constants parses into a TrainConfig."""
+    argv = [
+        "--model", "gat", "--dataset", "synth-small", "--num-epochs", "2",
+        "--num-steps", "10", "--num-hidden", "16", "--num-layers", "2",
+        "--num-in-heads", "2", "--num-out-heads", "1",
+        "--attn-dropout", "0.2", "--negative-slope", "0.1", "--residual",
+        "--fan-out", "8,4", "--eta", "0.3", "--batch-size", "8",
+        "--lr", "0.01", "--dropout", "0.2", "--sampler", "poisson-bandit",
+        "--importance-sampling", "1", "--logdir", "/tmp/x",
+        "--vertex-limit", "1000", "--undirected",
+        "--val-acc-target", "0.9", "--early-stopping-patience", "5",
+        "--disable-checkpoint", "--precision", "medium", "--k-runs", "2",
+        "--seed", "7", "--gpu", "0", "--num-workers", "2", "--data-cpu",
+        "--use-uva", "--cache-size", "100", "--ema-w", "0.9",
+        "--exp3-delta", "0.02", "--exp3-renorm-every", "8",
+        "--poisson-eps", "0.999", "--lr-gamma", "0.1",
+        "--lr-step-size", "3", "--frontier-slack", "4.0",
+        "--refit-after", "2", "--steps-per-call", "2",
+        "--inference-backend", "hybrid", "--resume", "",
+    ]
+    cfg = config_from_args(build_argparser().parse_args(argv))
+    assert cfg.model == "gat" and cfg.fan_out == (8, 4)
+    assert cfg.eta == 0.3 and cfg.exp3_delta == 0.02
+    assert cfg.inference_backend == "hybrid"
+
+
+def test_multihost_single_process_degradation(monkeypatch):
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert multihost.initialize() is False  # single-process no-op
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == jax.device_count()
+    sl = multihost.local_batch_slice(64)
+    assert (sl.start, sl.stop) == (0, 64)  # one process owns everything
