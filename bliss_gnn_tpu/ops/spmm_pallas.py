@@ -927,6 +927,7 @@ def save_hybrid_layout(path: str, h: HybridLayout) -> None:
         d_src_rel=h.d_src_rel, d_w=h.d_w,
         g_tile_win=g.tile_win, g_tile_first=g.tile_first,
         g_src_rel=g.src_rel, g_dst_rel=g.dst_rel, g_edge_w=g.edge_w,
+        g_edge_perm=g.edge_perm,
         **{f"gm_{k}": getattr(g.meta, k) for k in _BD_META_KEYS},
         **{f"hm_{k}": getattr(h.meta, k) for k in _HY_META_KEYS},
     )
@@ -938,7 +939,11 @@ def load_hybrid_layout(path: str) -> HybridLayout:
     gather = BandedLayout(
         meta=gmeta, tile_win=d["g_tile_win"], tile_first=d["g_tile_first"],
         src_rel=d["g_src_rel"], dst_rel=d["g_dst_rel"],
-        edge_w=d["g_edge_w"], edge_perm=np.zeros((0,), np.int64),
+        edge_w=d["g_edge_w"],
+        # slot-to-canonical-eid map persisted since r2: pre-r2 caches lack
+        # it and degrade to an empty perm (inference-only, as before)
+        edge_perm=d["g_edge_perm"] if "g_edge_perm" in d
+        else np.zeros((0,), np.int64),
     )
     hmeta = HybridMeta(**{k: int(d[f"hm_{k}"]) for k in _HY_META_KEYS})
     return HybridLayout(

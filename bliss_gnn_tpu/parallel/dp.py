@@ -1,4 +1,4 @@
-"""Data-parallel fused training step over a device mesh (shard_map).
+"""Data-parallel fused training/eval steps over a device mesh (shard_map).
 
 Design (SURVEY.md §5.8; no reference counterpart — the reference is strictly
 single-device, train_lightning.py:648-650):
@@ -17,30 +17,28 @@ single-device, train_lightning.py:648-650):
 - Adam runs redundantly-replicated on every device (identical inputs ->
   identical outputs), avoiding parameter broadcasts.
 
-Edge-sharding of the graph itself (for graphs larger than one HBM) is the
-next layer — see parallel/edgeshard.py.
+The per-device body is train.steps._make_step_fn(dp_axis=...) — the SAME
+code path as the single-device fused step, so metrics/stat names (and the
+capacity-refit inputs) are identical; the Trainer consumes either
+interchangeably.
+
+Edge-sharding of the graph itself (for graphs larger than one HBM) is
+parallel/edgeshard.py (full-graph aggregation) and parallel/sampled
+training in parallel/shardedstep.py.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from bliss_gnn_tpu.graph.structure import DeviceGraph
 from bliss_gnn_tpu.sampling.block import CapacityPlan
-from bliss_gnn_tpu.sampling.samplers import (
-    SamplerConfig,
-    apply_exp3_deltas,
-    exp3_edge_deltas,
-    sample_blocks,
-)
-from bliss_gnn_tpu.train.metrics import F1State, f1_update
-from bliss_gnn_tpu.train.steps import TrainState, cross_entropy_loss
+from bliss_gnn_tpu.sampling.samplers import SamplerConfig
+from bliss_gnn_tpu.train.steps import TrainState, _make_eval_fn, _make_step_fn
 
 
 def make_dp_train_step(
@@ -62,74 +60,10 @@ def make_dp_train_step(
     become compile-payload constants — measured to blow up remote
     compilation at Reddit scale).
     """
-    del graph  # bound at call time
-
-    def local_step(state: TrainState, seeds, seeds_mask, graph: DeviceGraph):
-        features = graph.ndata["features"]
-        labels_all = graph.ndata["labels"]
-        me = jax.lax.axis_index(axis)
-        key, k_sample, k_drop = jax.random.split(state.key, 3)
-        k_sample = jax.random.fold_in(k_sample, me)
-        k_drop = jax.random.fold_in(k_drop, me)
-        blocks, _ = sample_blocks(
-            graph, sampler_cfg, plan, k_sample, seeds, seeds_mask,
-            state.exp3_weights,
-        )
-        x = jnp.take(features, blocks[0].src_gids, axis=0)
-        labels = jnp.take(labels_all, blocks[-1].dst_gids, axis=0)
-        dst_mask = blocks[-1].dst_mask
-
-        def loss_fn(params):
-            logits, aux = model.apply(
-                params, blocks, x, deterministic=False,
-                rngs={"dropout": k_drop},
-            )
-            loss = cross_entropy_loss(logits, labels, dst_mask, multilabel)
-            return loss, (logits, aux)
-
-        (loss, (logits, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        grads = jax.lax.pmean(grads, axis)
-        loss_g = jax.lax.pmean(loss, axis)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-
-        if sampler_cfg.is_bandit:
-            deltas = exp3_edge_deltas(
-                graph, sampler_cfg, blocks, aux["embed_norms"], aux["a_ijs"]
-            )
-            # all-gather each layer's sparse update list across the dp axis;
-            # every device then applies every shard's update -> replicated,
-            # globally consistent arm weights
-            gathered = [
-                (
-                    jax.lax.all_gather(eid, axis),
-                    jax.lax.all_gather(dr, axis),
-                )
-                for (eid, dr) in deltas
-            ]
-            exp3 = apply_exp3_deltas(
-                state.exp3_weights, gathered, normalize=exp3_normalize
-            )
-        else:
-            exp3 = state.exp3_weights
-
-        f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)
-        f1 = jax.tree.map(lambda v: jax.lax.psum(v, axis), f1)
-        metrics = {"train_loss": loss_g, "f1": f1}
-        for i, b in enumerate(blocks):
-            metrics[f"num_nodes/{i}"] = jax.lax.psum(b.num_src(), axis)
-            metrics[f"num_edges/{i}"] = jax.lax.psum(b.num_edges(), axis)
-        metrics[f"num_nodes/{len(blocks)}"] = jax.lax.psum(
-            blocks[-1].num_dst(), axis
-        )
-        new_state = TrainState(
-            params=params, opt_state=opt_state, exp3_weights=exp3,
-            key=key, step=state.step + 1,
-        )
-        return new_state, metrics
-
+    local_step = _make_step_fn(
+        graph, model, tx, sampler_cfg, plan, multilabel,
+        dp_axis=axis, exp3_normalize=exp3_normalize,
+    )
     from jax import shard_map
 
     step_fn = shard_map(
@@ -142,3 +76,71 @@ def make_dp_train_step(
         check_vma=False,
     )
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_dp_multi_train_step(
+    mesh: Mesh,
+    graph: DeviceGraph,
+    model,
+    tx: optax.GradientTransformation,
+    sampler_cfg: SamplerConfig,
+    plan: CapacityPlan,
+    multilabel: bool,
+    n_steps: int,
+    axis: str = "dp",
+    exp3_normalize: bool = True,
+) -> Callable:
+    """Chain ``n_steps`` DP steps inside one jitted lax.scan dispatch
+    (steps.make_multi_train_step over the sharded body): seeds/masks are
+    [n_steps, n_dev * local_batch]; metrics come back stacked [n_steps, ...].
+    """
+    single = _make_step_fn(
+        graph, model, tx, sampler_cfg, plan, multilabel,
+        dp_axis=axis, exp3_normalize=exp3_normalize,
+    )
+
+    def multi(state: TrainState, seeds, seeds_mask, graph: DeviceGraph):
+        def body(st, xs):
+            s, m = xs
+            return single(st, s, m, graph)
+
+        return jax.lax.scan(body, state, (seeds, seeds_mask))
+
+    from jax import shard_map
+
+    step_fn = shard_map(
+        multi,
+        mesh=mesh,
+        # the leading scan axis is unsharded; axis 1 (the global batch)
+        # splits over dp
+        in_specs=(P(), P(None, axis), P(None, axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_dp_eval_step(
+    mesh: Mesh,
+    model,
+    sampler_cfg: SamplerConfig,
+    plan: CapacityPlan,
+    multilabel: bool,
+    axis: str = "dp",
+) -> Callable:
+    """Sharded sampled-validation step: each device evaluates its seed shard
+    with a device-folded key; returns globally psum-reduced
+    (f1, loss*n, n) — same contract as steps.make_eval_step."""
+    local_eval = _make_eval_fn(
+        model, sampler_cfg, plan, multilabel, dp_axis=axis
+    )
+    from jax import shard_map
+
+    fn = shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)

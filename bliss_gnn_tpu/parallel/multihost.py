@@ -59,3 +59,30 @@ def local_batch_slice(global_batch: int) -> slice:
     per = global_batch // n
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)
+
+
+def global_seed_batch(mesh: Mesh, arr: np.ndarray, axis: str = "dp",
+                      batch_dim: int = -1):
+    """Device-put a host-replicated global seed batch (or mask) as a global
+    array sharded over ``axis`` along ``batch_dim``.
+
+    Single-process: a plain transfer (jit reshards by its in_specs).
+    Multi-process: every process computes the SAME global batch (identical
+    host RNG seed), slices out its own contiguous chunk, and the chunks are
+    assembled into one global jax.Array — the standard
+    host_local_array_to_global_array recipe for feeding a pjit'd step from
+    per-host data loaders."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return jnp.asarray(arr)
+    from jax.experimental import multihost_utils
+
+    batch_dim = batch_dim % arr.ndim
+    sl = [slice(None)] * arr.ndim
+    sl[batch_dim] = local_batch_slice(arr.shape[batch_dim])
+    spec = P(*[axis if d == batch_dim else None for d in range(arr.ndim)])
+    return multihost_utils.host_local_array_to_global_array(
+        arr[tuple(sl)], mesh, spec
+    )

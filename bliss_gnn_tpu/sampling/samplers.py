@@ -67,6 +67,14 @@ class SamplerConfig:
     poisson_iters: int = 50  # bandit_sampler.py:396
     exp3_delta: float = 0.01  # bandit_sampler.py:233 (constant; paper formula
     # is commented out in the reference)
+    # the paper's per-dst learning rate, commented out in the reference
+    # (bandit_sampler.py:226-229):
+    #   delta_i = sqrt((1-eta) * eta^4 * k_i^5 * ln(n_i/k_i) / (T * n_i^4))
+    # with k_i the kept-edge in-degree, n_i the full-graph in-degree, and T
+    # the sampler's planned step count (num_steps, bandit_sampler.py:42).
+    # Off by default (= reference behavior: constant delta).
+    exp3_delta_formula: bool = False
+    exp3_T: int = 5000  # T in the delta formula (sampler num_steps default)
     model: str = "sage"  # 'gat' switches the alpha computation
 
     def __post_init__(self):
@@ -684,7 +692,24 @@ def _edge_delta(
     n_i = maybe_lut_gather(
         n_i_seed, jnp.clip(block.e_dst, 0, block.n_dst_cap - 1)
     )
-    dr = r_hat * (cfg.exp3_delta / jnp.maximum(n_i, 1.0))
+    if cfg.exp3_delta_formula:
+        # paper delta (bandit_sampler.py:226-229, commented out upstream):
+        # per-dst, built on the seed vector then LUT-broadcast to edges
+        k_seed = jnp.maximum(
+            block.in_degrees().astype(jnp.float32), 1.0
+        )
+        n_seed = jnp.maximum(n_i_seed, 1.0)
+        nom = (
+            (1.0 - cfg.eta) * cfg.eta ** 4 * k_seed ** 5
+            * jnp.log(jnp.maximum(n_seed / k_seed, 1.0))
+        )
+        delta_seed = jnp.sqrt(nom / (cfg.exp3_T * n_seed ** 4))
+        delta = maybe_lut_gather(
+            delta_seed, jnp.clip(block.e_dst, 0, block.n_dst_cap - 1)
+        )
+    else:
+        delta = cfg.exp3_delta  # constant (the reference's live branch)
+    dr = r_hat * (delta / jnp.maximum(n_i, 1.0))
     dr = jnp.minimum(dr, 1.0)  # delta_reward[delta_reward > 1] = 1
     return jnp.where(block.e_mask, dr, 0.0)
 

@@ -46,6 +46,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--attn-dropout", type=float, default=0.1)
     p.add_argument("--negative-slope", type=float, default=0.2)
     p.add_argument("--residual", action="store_true", default=False)
+    # accepted-and-ignored, faithfully: the reference parses this flag
+    # (train_lightning.py:514) but never uses it (its only consumer is a
+    # commented-out line at :333; the GATv2 model hard-codes
+    # allow_zero_in_degree=True, model.py:137) — and graph canonicalization
+    # adds self-loops, so zero-in-degree nodes cannot occur
     p.add_argument("--allow-zero-in-degree", action="store_true", default=False)
     p.add_argument("--fan-out", type=str, default="16384,8192,4096")
     p.add_argument("--eta", type=float, default=0.1)
@@ -78,6 +83,11 @@ def build_argparser() -> argparse.ArgumentParser:
     # surfaced constants
     p.add_argument("--ema-w", type=float, default=0.99)
     p.add_argument("--exp3-delta", type=float, default=0.01)
+    p.add_argument("--exp3-delta-formula", action="store_true",
+                   help="use the paper's per-dst delta formula (commented "
+                        "out in the reference, bandit_sampler.py:226-233) "
+                        "instead of the constant --exp3-delta; T = "
+                        "--num-steps")
     p.add_argument("--exp3-renorm-every", type=int, default=64,
                    help="steps between deferred EXP3 L1 row normalizations (1 = reference's normalize-every-step)")
     p.add_argument("--poisson-eps", type=float, default=0.9999)
@@ -104,6 +114,18 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of N training steps")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="chain K fused steps in one lax.scan dispatch")
+    p.add_argument("--platform", type=str, default="",
+                   help="force a jax platform (e.g. 'cpu' for a virtual "
+                        "host mesh with XLA_FLAGS=--xla_force_host_platform_"
+                        "device_count=N); empty = jax default.  Needed "
+                        "because this environment's sitecustomize overrides "
+                        "the JAX_PLATFORMS env var")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel devices: shard the (global) seed "
+                        "batch over N devices with psum'd grads and "
+                        "all-gathered EXP3 deltas (parallel/dp.py); 0 = all "
+                        "visible devices; 1 = single device (reference "
+                        "behavior)")
     return p
 
 
@@ -139,6 +161,7 @@ def config_from_args(args) -> "TrainConfig":
         seed=args.seed,
         ema_w=args.ema_w,
         exp3_delta=args.exp3_delta,
+        exp3_delta_formula=args.exp3_delta_formula,
         exp3_renorm_every=args.exp3_renorm_every,
         poisson_eps=args.poisson_eps,
         lr_gamma=args.lr_gamma,
@@ -157,6 +180,7 @@ def config_from_args(args) -> "TrainConfig":
         use_uva=args.use_uva,
         cache_size=args.cache_size,
         steps_per_call=args.steps_per_call,
+        dp=args.dp,
         compute_dtype="float32" if args.precision == "highest" else "bfloat16",
     )
 
@@ -195,6 +219,10 @@ def reduce_runs(logdir: str, run_name: str, k: int):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     from bliss_gnn_tpu.train.trainer import Trainer
 
     cfg = config_from_args(args)

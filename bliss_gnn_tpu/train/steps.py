@@ -29,6 +29,8 @@ from bliss_gnn_tpu.graph.structure import DeviceGraph
 from bliss_gnn_tpu.sampling.block import CapacityPlan
 from bliss_gnn_tpu.sampling.samplers import (
     SamplerConfig,
+    apply_exp3_deltas,
+    exp3_edge_deltas,
     exp3_update,
     sample_blocks,
 )
@@ -115,11 +117,23 @@ def make_eval_step(
     n_valid) so the caller can accumulate epoch metrics.  As with the train
     step, the graph is a jit argument (no giant closure constants)."""
     del graph
+    return jax.jit(
+        _make_eval_fn(model, sampler_cfg, plan, multilabel)
+    )
+
+
+def _make_eval_fn(model, sampler_cfg, plan, multilabel,
+                  dp_axis: Optional[str] = None):
+    """The raw eval body; with ``dp_axis`` each device samples/evaluates its
+    seed shard (device-folded key) and the (f1, loss*n, n) tuple is
+    psum-reduced — the sharded half of parallel.dp.make_dp_eval_step."""
 
     def step(state: TrainState, key: jax.Array, seeds, seeds_mask,
              graph: DeviceGraph):
         features = graph.ndata["features"]
         labels_all = graph.ndata["labels"]
+        if dp_axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(dp_axis))
         blocks, _ = sample_blocks(
             graph, sampler_cfg, plan, key, seeds, seeds_mask,
             state.exp3_weights,
@@ -131,9 +145,12 @@ def make_eval_step(
         loss = cross_entropy_loss(logits, labels, dst_mask, multilabel)
         f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)
         n = jnp.sum(dst_mask)
-        return f1, loss * n, n
+        out = (f1, loss * n, n)
+        if dp_axis is not None:
+            out = jax.tree.map(lambda v: jax.lax.psum(v, dp_axis), out)
+        return out
 
-    return jax.jit(step)
+    return step
 
 
 def make_multi_train_step(
@@ -166,15 +183,37 @@ def make_multi_train_step(
     return jax.jit(multi, donate_argnums=(0,))
 
 
-def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel):
-    """The raw (untraced) fused step body shared by make_train_step and
-    make_multi_train_step."""
+def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel,
+                  dp_axis: Optional[str] = None,
+                  exp3_normalize: bool = False):
+    """The raw (untraced) fused step body shared by make_train_step,
+    make_multi_train_step, and (under shard_map) parallel.dp's
+    make_dp_train_step.
+
+    With ``dp_axis`` set the body is the per-device half of seed-batch data
+    parallelism (SURVEY.md §5.8; no reference counterpart — the reference is
+    strictly single-device, train_lightning.py:648-650):
+    - the PRNG keys are folded by device index (independent sampling);
+    - gradients/loss are ``pmean``-averaged; Adam then runs redundantly-
+      replicated (identical inputs -> identical outputs, no broadcasts);
+    - the EXP3 arm weights stay *globally consistent* by all-gathering each
+      shard's sparse update list (eid, exponent) — a few KB/step — and
+      applying every shard's multiplicative update everywhere (multiplicative
+      updates compose by scatter-mul exactly as a sequential stream would);
+    - count/F1 metrics are ``psum``-reduced; the refit-input maxima
+      (frontier_edges / n_block_edges_true) are ``pmax``-reduced so the
+      capacity refit sees the worst shard.
+    """
     del graph
 
     def step(state: TrainState, seeds, seeds_mask, graph: DeviceGraph):
         features = graph.ndata["features"]
         labels_all = graph.ndata["labels"]
         key, k_sample, k_drop = jax.random.split(state.key, 3)
+        if dp_axis is not None:
+            me = jax.lax.axis_index(dp_axis)
+            k_sample = jax.random.fold_in(k_sample, me)
+            k_drop = jax.random.fold_in(k_drop, me)
         blocks, samp_stats = sample_blocks(
             graph, sampler_cfg, plan, k_sample, seeds, seeds_mask,
             state.exp3_weights,
@@ -194,15 +233,28 @@ def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel):
         (loss, (logits, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if dp_axis is not None:
+            grads = jax.lax.pmean(grads, dp_axis)
+            loss = jax.lax.pmean(loss, dp_axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if sampler_cfg.is_bandit:
-            # normalize=False: consumers renormalize per dst, so the L1 row
-            # normalization is deferred to the Trainer's periodic
+            # normalize=False (default): consumers renormalize per dst, so
+            # the L1 row normalization is deferred to the Trainer's periodic
             # renormalize (exp3_renorm_every) — see apply_exp3_deltas
-            exp3 = exp3_update(
-                graph, sampler_cfg, state.exp3_weights, blocks,
-                aux["embed_norms"], aux["a_ijs"], normalize=False,
+            deltas = exp3_edge_deltas(
+                graph, sampler_cfg, blocks, aux["embed_norms"], aux["a_ijs"]
+            )
+            if dp_axis is not None:
+                deltas = [
+                    (
+                        jax.lax.all_gather(eid, dp_axis),
+                        jax.lax.all_gather(dr, dp_axis),
+                    )
+                    for (eid, dr) in deltas
+                ]
+            exp3 = apply_exp3_deltas(
+                state.exp3_weights, deltas, normalize=exp3_normalize
             )
         else:
             exp3 = state.exp3_weights
@@ -220,6 +272,16 @@ def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel):
                 or "n_block_edges_true" in k
             },
         }
+        if dp_axis is not None:
+            for k in list(metrics):
+                if k == "train_loss":
+                    continue
+                if "frontier_edges" in k or "n_block_edges_true" in k:
+                    metrics[k] = jax.lax.pmax(metrics[k], dp_axis)
+                else:  # counts, overflow counters, F1 state: global totals
+                    metrics[k] = jax.tree.map(
+                        lambda v: jax.lax.psum(v, dp_axis), metrics[k]
+                    )
         new_state = TrainState(
             params=params, opt_state=opt_state, exp3_weights=exp3,
             key=key, step=state.step + 1,

@@ -91,6 +91,10 @@ class TrainConfig:
     # surfaced constants
     ema_w: float = 0.99
     exp3_delta: float = 0.01
+    # use the paper's per-dst delta formula instead of the constant (the
+    # formula is commented out in the reference, bandit_sampler.py:226-233;
+    # T = num_steps when positive, else the sampler default 5000)
+    exp3_delta_formula: bool = False
     # the fused step defers the EXP3 L1 row normalization (consumers
     # renormalize per dst; see samplers.apply_exp3_deltas) — renormalize
     # the state every this many steps for bf16 hygiene.  1 reproduces the
@@ -130,6 +134,11 @@ class TrainConfig:
     # 'auto' uses the banded Pallas SpMM for SAGE/GCN final eval on TPU when
     # the graph is large; 'xla' forces the chunked segment-sum path
     inference_backend: str = "auto"
+    # data parallelism over a device mesh: 1 = single device (reference
+    # behavior); N > 1 = shard the seed batch over N devices (psum'd grads,
+    # all-gathered EXP3 deltas — parallel/dp.py); 0 = all visible devices.
+    # Multi-host pods initialize via parallel/multihost.py (env-driven).
+    dp: int = 1
 
     @property
     def run_name(self) -> str:
@@ -148,6 +157,33 @@ class Trainer:
                  multilabel: Optional[bool] = None):
         self.cfg = cfg
         enable_compilation_cache()
+        # -- device mesh (data parallelism) -------------------------------
+        # dp == 1 reproduces the reference's single-device harness; dp != 1
+        # builds a dp-axis mesh and routes every step through parallel/dp.py
+        # (multi-host pods first join via jax.distributed — a no-op when
+        # single-process, so this is safe to run unconditionally).
+        self.mesh = None
+        self.dp = 1
+        if cfg.dp != 1:
+            from bliss_gnn_tpu.parallel import multihost
+            from bliss_gnn_tpu.parallel.mesh import make_mesh
+
+            multihost.initialize()
+            n_dev = cfg.dp if cfg.dp > 0 else jax.device_count()
+            if n_dev > jax.device_count():
+                raise ValueError(
+                    f"--dp {n_dev} exceeds the {jax.device_count()} visible "
+                    f"devices"
+                )
+            if n_dev > 1:
+                if cfg.use_uva:
+                    raise NotImplementedError(
+                        "--use-uva (host-resident features) is single-device "
+                        "for now; under dp the feature cache would need a "
+                        "per-shard host gather"
+                    )
+                self.mesh = make_mesh(n_dev)
+                self.dp = n_dev
         if graph is None:
             graph, n_classes, multilabel = load_dataset(cfg.dataset)
             graph = Graph.canonicalize(graph, undirected=cfg.undirected)
@@ -191,6 +227,8 @@ class Trainer:
             eta=cfg.eta,
             poisson_eps=cfg.poisson_eps,
             exp3_delta=cfg.exp3_delta,
+            exp3_delta_formula=cfg.exp3_delta_formula,
+            exp3_T=cfg.num_steps if cfg.num_steps > 0 else 5000,
             model=cfg.model,
         )
         self.model = build_model(
@@ -200,7 +238,13 @@ class Trainer:
             negative_slope=cfg.negative_slope, residual=cfg.residual,
             dtype=dtype, param_dtype=pdtype,
         )
+        # GLOBAL batch size (matches the reference's --batch-size); under dp
+        # it is rounded to a multiple of the device count and each device
+        # samples/trains on batch/dp seeds.
         self.batch_size = min(cfg.batch_size, max(1, len(self.train_nid)))
+        self.batch_size = max(
+            self.dp, (self.batch_size // self.dp) * self.dp
+        )
         self.steps_per_epoch = max(1, len(self.train_nid) // self.batch_size)
         self._build_for_batch_size(self.batch_size, init_state=True)
 
@@ -237,8 +281,10 @@ class Trainer:
         self.batch_size = batch_size
         indeg = g.in_degrees()
         self._max_degree = int(indeg.max())
+        # the capacity plan sizes ONE device's shapes: local batch under dp
         self.plan = CapacityPlan.build(
-            batch_size, self.sampler_cfg.fanouts, g.n_nodes, g.n_edges,
+            batch_size // self.dp, self.sampler_cfg.fanouts, g.n_nodes,
+            g.n_edges,
             kind=cfg.sampler, frontier_slack=cfg.frontier_slack,
             block_edge_slack=cfg.block_edge_slack,
             max_frontier_edges=cfg.max_frontier_edges,
@@ -291,6 +337,29 @@ class Trainer:
             self.train_step = self._uva_train_step
             self.eval_step = self._uva_eval_step
             self.multi_step = None
+        elif self.dp > 1:
+            from bliss_gnn_tpu.parallel.dp import (
+                make_dp_eval_step,
+                make_dp_multi_train_step,
+                make_dp_train_step,
+            )
+
+            self.train_step = make_dp_train_step(
+                self.mesh, self.graph, self.model, self.tx,
+                self.sampler_cfg, self.plan, self.multilabel,
+                exp3_normalize=False,
+            )
+            self.eval_step = make_dp_eval_step(
+                self.mesh, self.model, self.sampler_cfg, self.plan,
+                self.multilabel,
+            )
+            self.multi_step = None
+            if cfg.steps_per_call > 1:
+                self.multi_step = make_dp_multi_train_step(
+                    self.mesh, self.graph, self.model, self.tx,
+                    self.sampler_cfg, self.plan, self.multilabel,
+                    cfg.steps_per_call, exp3_normalize=False,
+                )
         else:
             self.train_step = make_train_step(
                 self.graph, self.model, self.tx, self.sampler_cfg, self.plan,
@@ -362,6 +431,17 @@ class Trainer:
         )
         return self.model.init(key, blocks_z, x)
 
+    def _put_batch(self, arr, batch_dim: int = -1):
+        """Transfer a host seed batch / mask; under dp this builds a global
+        (multi-process-safe) array sharded along the batch dim."""
+        if self.dp > 1:
+            from bliss_gnn_tpu.parallel.multihost import global_seed_batch
+
+            return global_seed_batch(
+                self.mesh, np.asarray(arr), batch_dim=batch_dim
+            )
+        return jnp.asarray(arr)
+
     # -- epoch loops -----------------------------------------------------
     def _epoch_batches(self, rng: np.random.Generator) -> np.ndarray:
         ids = rng.permutation(self.train_nid)
@@ -379,7 +459,7 @@ class Trainer:
         prev_t = time.time()
         while epoch < max_epochs and self.global_step < max_steps and not self._stop:
             batches = self._epoch_batches(rng)
-            smask = jnp.ones(self.batch_size, bool)
+            smask = self._put_batch(np.ones(self.batch_size, bool))
             K = self.cfg.steps_per_call if self.multi_step is not None else 1
             b = 0
             while b < batches.shape[0]:
@@ -391,8 +471,10 @@ class Trainer:
                     self.global_step + K <= max_steps
                 ) and cfg.profile_steps == 0
                 if chain:
-                    seeds = jnp.asarray(batches[b : b + K])
-                    masks = jnp.ones((K, self.batch_size), bool)
+                    seeds = self._put_batch(batches[b : b + K])
+                    masks = self._put_batch(
+                        np.ones((K, self.batch_size), bool)
+                    )
                     st = time.time()
                     self.state, mstack = self.multi_step(
                         self.state, seeds, masks, self.graph
@@ -407,7 +489,7 @@ class Trainer:
                         self.welford.push(float(metrics["num_nodes/0"]))
                     b += K
                 else:
-                    seeds = jnp.asarray(batches[b])
+                    seeds = self._put_batch(batches[b])
                     if cfg.profile_steps > 0 and self.global_step == 2:
                         jax.profiler.start_trace(
                             os.path.join(self.run_dir, "profile")
@@ -527,10 +609,10 @@ class Trainer:
         for b in range(n_batches):
             chunk = self.val_nid[b * self.batch_size : (b + 1) * self.batch_size]
             pad = self.batch_size - len(chunk)
-            seeds = jnp.asarray(
-                np.pad(chunk, (0, pad)), dtype=jnp.int32
+            seeds = self._put_batch(
+                np.pad(chunk, (0, pad)).astype(np.int32)
             )
-            smask = jnp.asarray(np.arange(self.batch_size) < len(chunk))
+            smask = self._put_batch(np.arange(self.batch_size) < len(chunk))
             key, sub = jax.random.split(key)
             df1, dloss, dn = self.eval_step(
                 self.state, sub, seeds, smask, self.graph
@@ -630,6 +712,7 @@ class Trainer:
             and abs(limit - w.m) * w.n >= w.std * 3
         ):
             new_bs = max(1, int(self.batch_size * limit / max(w.m, 1)))
+            new_bs = max(self.dp, (new_bs // self.dp) * self.dp)
             if new_bs != self.batch_size:
                 self.batch_size = new_bs
                 self.steps_per_epoch = max(
