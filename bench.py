@@ -173,10 +173,12 @@ def main():
 
     # scalar-perturbed input per repeat: the axon tunnel memoizes repeat
     # dispatches with identical inputs (CLAUDE.md), so each timed call must
-    # be distinct; the extra elementwise pass over xb is ~1 ms at stream
-    # rate vs the ~600 ms kernel
+    # be distinct; 1e-6 > f32 eps so the streamed VALUES genuinely differ
+    # per repeat (1e-9 would round 1+s*eps to exactly 1.0 and leave only
+    # the dispatch key distinct).  The extra elementwise pass over xb is
+    # ~1 ms at stream rate vs the ~600 ms kernel
     pallas_fn = jax.jit(
-        lambda xb, acc, dl, s: hybrid_spmm(xb * (1 + s * 1e-9), dl, acc)[0, 0]
+        lambda xb, acc, dl, s: hybrid_spmm(xb * (1 + s * 1e-6), dl, acc)[0, 0]
     )
     float(pallas_fn(xb, acc0, dl, jnp.float32(0)))  # compile + warmup
     _log("pallas compiled + warm")
@@ -202,7 +204,7 @@ def main():
     wd = jnp.asarray(w[:sub_edges])
     xla_fn = jax.jit(
         lambda x, ip, sr, wv, s: full_spmm_sum(
-            x * (1 + s * 1e-9), ip, sr, nk, sub_edges, edge_vals=wv,
+            x * (1 + s * 1e-6), ip, sr, nk, sub_edges, edge_vals=wv,
             chunk=1 << 18,
         )[0, 0],
         static_argnames=(),

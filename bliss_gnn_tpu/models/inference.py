@@ -196,7 +196,9 @@ def layerwise_inference(
 
 
 def make_hybrid_spmm(graph: DeviceGraph, dense_t: int = 300,
-                     cache_path: str | None = None):
+                     cache_path: str | None = None,
+                     band: int = 16384, wr: int = 256, sub: int = 256,
+                     et_d: int = 512):
     """Hybrid dense-block + gather SpMM closure (ops/spmm_pallas.py,
     degree-sorted node space handled internally) — measured 1.27x the base
     banded kernel at Reddit scale (scripts/probe_hybrid.py).  The one-time
@@ -213,23 +215,26 @@ def make_hybrid_spmm(graph: DeviceGraph, dense_t: int = 300,
         spmm_via_pallas_hybrid,
     )
 
+    want = dict(n_nodes=graph.n_nodes, n_edges=graph.n_edges,
+                dense_t=dense_t, band=band, wr=wr, sub=sub, et_d=et_d)
     if cache_path and os.path.exists(cache_path):
         layout = load_hybrid_layout(cache_path)
         lm = layout.meta
-        if (lm.n_nodes, lm.n_edges, lm.dense_t) != (
-            graph.n_nodes, graph.n_edges, dense_t
-        ):
+        # validate the FULL tiling signature, not just the graph shape — a
+        # cache built with different band/wr/sub/et_d would load silently
+        # and quietly ignore the requested tiling (advisor finding)
+        got = {k: getattr(lm, k) for k in want}
+        if got != want:
             raise ValueError(
-                f"hybrid layout cache {cache_path} was built for "
-                f"(n={lm.n_nodes}, e={lm.n_edges}, dense_t={lm.dense_t}), "
-                f"not this graph (n={graph.n_nodes}, e={graph.n_edges}, "
-                f"dense_t={dense_t}) — delete it or pass a different path"
+                f"hybrid layout cache {cache_path} was built for {got}, "
+                f"not the requested {want} — delete it or pass a "
+                f"different path"
             )
     else:
         layout = build_hybrid_layout(
             np.asarray(graph.csc_indptr),
             np.asarray(graph.csc_src)[: graph.n_edges],
-            None, dense_t=dense_t,
+            None, band=band, wr=wr, sub=sub, et_d=et_d, dense_t=dense_t,
         )
         if cache_path:
             save_hybrid_layout(cache_path, layout)

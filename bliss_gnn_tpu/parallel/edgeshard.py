@@ -100,6 +100,11 @@ def make_sharded_spmm(mesh: Mesh, dst_per_shard: int, axis: str = "dp"):
     all_gather only where a consumer needs replication)."""
     from jax import shard_map
 
+    ckey = ("sharded", mesh, dst_per_shard, axis)
+    cached = _RING_CACHE.get(ckey)
+    if cached is not None:
+        return cached
+
     def local(e_src, e_dst_rel, e_w, e_mask, x):
         # each device sees its leading-dim-1 shard slice
         src, dst_rel = e_src[0], e_dst_rel[0]
@@ -120,7 +125,9 @@ def make_sharded_spmm(mesh: Mesh, dst_per_shard: int, axis: str = "dp"):
         out_specs=P(axis),
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    _RING_CACHE[ckey] = jitted
+    return jitted
 
 
 def sharded_mean_aggregate(
@@ -206,6 +213,9 @@ jax.tree_util.register_dataclass(
 )
 
 
+_RING_CACHE: dict = {}
+
+
 def make_ring_spmm(mesh: Mesh, shards_meta: Tuple[int, int],
                    axis: str = "dp"):
     """Build the ring-rotated, fully-sharded SpMM.
@@ -219,6 +229,13 @@ def make_ring_spmm(mesh: Mesh, shards_meta: Tuple[int, int],
     from jax import shard_map
 
     node_per, S = shards_meta
+    # memoize the shard_map+jit closure: rebuilding it per call recompiles
+    # the ring kernel (~15-20 s sort-lowering compiles through the remote-
+    # compile tunnel) — advisor finding
+    ckey = (mesh, node_per, S, axis)
+    cached = _RING_CACHE.get(ckey)
+    if cached is not None:
+        return cached
     perm = [(i, (i + 1) % S) for i in range(S)]
 
     def local(e_src_rel, e_dst_rel, e_w, x_shard):
@@ -257,7 +274,9 @@ def make_ring_spmm(mesh: Mesh, shards_meta: Tuple[int, int],
         out_specs=P(axis),
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    _RING_CACHE[ckey] = jitted
+    return jitted
 
 
 def ring_mean_aggregate(

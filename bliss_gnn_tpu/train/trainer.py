@@ -740,10 +740,21 @@ class Trainer:
             if cfg.inference_backend == "hybrid":
                 # per-layer routing: degree-sorted dense-block kernel for
                 # wide features, packed banded kernel for hidden layers —
-                # explicit opt-in (costs a second layout build + HBM)
+                # explicit opt-in (costs a second layout build + HBM).
+                # The O(E log E) host layout build (~3 min at Reddit scale)
+                # is cached on disk next to the XLA compile cache.
                 from bliss_gnn_tpu.models.inference import make_dual_spmm
 
-                spmm = make_dual_spmm(self.graph)
+                cache_dir = os.path.join(os.getcwd(), ".jax_cache")
+                os.makedirs(cache_dir, exist_ok=True)
+                spmm = make_dual_spmm(
+                    self.graph,
+                    cache_path=os.path.join(
+                        cache_dir,
+                        f"hybrid_{self.host_graph.n_nodes}_"
+                        f"{self.host_graph.n_edges}_300.npz",
+                    ),
+                )
             else:
                 from bliss_gnn_tpu.models.inference import make_pallas_spmm
 
