@@ -41,6 +41,19 @@ DATASET_STATS = {
     "yelp": (716847, 13954819, 300, 100, True),
     "ogbn-arxiv": (169343, 1166243, 128, 40, False),
     "ogbn-products": (2449029, 123718280, 100, 47, False),
+    # papers100M (load_graph.py:72): the UVA / feature-cache stress case —
+    # features alone are ~53 GB bf16, far beyond one chip's HBM.  A full-size
+    # synthetic stand-in is not generatable on this host; use
+    # synth-papers100m-small for the cache-path shape tests.
+    "ogbn-papers100m": (111059956, 1615685872, 128, 172, False),
+}
+
+# OGB on-disk split directory per dataset (the split rule name chosen by OGB;
+# reference gets it transparently via ogb.nodeproppred, load_graph.py:32-38)
+_OGB_SPLIT_DIR = {
+    "ogbn-arxiv": "time",
+    "ogbn-papers100m": "time",
+    "ogbn-products": "sales_ranking",
 }
 
 
@@ -269,28 +282,59 @@ def _load_reddit_dgl(d: str) -> Tuple[Graph, int, bool]:
 
 
 def _load_ogb(name: str) -> Tuple[Graph, int, bool]:
-    """OGB node-prop layout: <root>/<name_>/raw/*.csv.gz + split/..."""
+    """OGB node-prop on-disk layouts (reference: load_graph.py:32-63 via
+    ogb.nodeproppred; supported names ogbn-products/arxiv/papers100M,
+    load_graph.py:72):
+
+    - csv.gz (arxiv/products): <root>/<name_>/raw/{edge,node-feat,node-label}.csv.gz
+    - binary npz (papers100M ships this way — csv would be ~terabytes):
+      raw/data.npz (edge_index [2,E], node_feat [N,F]) + raw/node-label.npz
+
+    Labels may carry NaN on unlabeled nodes (papers100M labels only ~1.4% of
+    nodes); the reference casts NaN straight to long (load_graph.py:44) and
+    relies on the split masks only covering labeled nodes — here NaN becomes
+    -1 for the same effect without UB.  n_classes counts distinct non-NaN
+    labels (load_graph.py:43)."""
     under = name.replace("-", "_")
-    d = os.path.join(DATA_ROOT, under)
+    # OGB's extracted dir preserves the original capitalization
+    # (ogbn_papers100M); load_dataset lowercases names — try both
+    cands = [os.path.join(DATA_ROOT, under),
+             os.path.join(DATA_ROOT, under.replace("100m", "100M"))]
+    d = next((c for c in cands if os.path.exists(os.path.join(c, "raw"))),
+             cands[0])
     raw = os.path.join(d, "raw")
     if not os.path.exists(raw):
         raise FileNotFoundError(
             f"OGB raw dir for '{name}' not found at {raw}; "
             f"set BLISS_DATA_ROOT or use load_dataset('synth-{name}')."
         )
+    if os.path.exists(os.path.join(raw, "data.npz")):
+        data = np.load(os.path.join(raw, "data.npz"))
+        edges = data["edge_index"].astype(np.int64).T  # [E, 2]
+        feats = data["node_feat"].astype(np.float32)
+        labels_f = np.load(os.path.join(raw, "node-label.npz"))[
+            "node_label"
+        ].reshape(-1).astype(np.float64)
+    else:
+        import pandas as pd
+
+        edges = pd.read_csv(
+            os.path.join(raw, "edge.csv.gz"), header=None
+        ).values.astype(np.int64)
+        feats = pd.read_csv(
+            os.path.join(raw, "node-feat.csv.gz"), header=None
+        ).values.astype(np.float32)
+        labels_f = pd.read_csv(
+            os.path.join(raw, "node-label.csv.gz"), header=None
+        ).values.reshape(-1).astype(np.float64)
+    labeled = ~np.isnan(labels_f)
+    labels = np.where(labeled, labels_f, -1).astype(np.int64)
+    n = feats.shape[0]
+    split_dir = os.path.join(
+        d, "split", _OGB_SPLIT_DIR.get(name.lower(), "time")
+    )
     import pandas as pd
 
-    edges = pd.read_csv(
-        os.path.join(raw, "edge.csv.gz"), header=None
-    ).values.astype(np.int64)
-    feats = pd.read_csv(
-        os.path.join(raw, "node-feat.csv.gz"), header=None
-    ).values.astype(np.float32)
-    labels = pd.read_csv(
-        os.path.join(raw, "node-label.csv.gz"), header=None
-    ).values.reshape(-1).astype(np.int64)
-    n = feats.shape[0]
-    split_dir = os.path.join(d, "split", "time" if "arxiv" in name else "sales_ranking")
     masks = {}
     for split, fname in [
         ("train_mask", "train.csv.gz"),
@@ -301,7 +345,7 @@ def _load_ogb(name: str) -> Tuple[Graph, int, bool]:
         m = np.zeros(n, dtype=bool)
         m[idx] = True
         masks[split] = m
-    n_classes = int(labels[~np.isnan(labels.astype(np.float64))].max()) + 1
+    n_classes = len(np.unique(labels[labeled]))
     ndata = {"features": feats, "labels": labels, **masks}
     return Graph(edges[:, 0], edges[:, 1], n, ndata=ndata), n_classes, False
 
@@ -320,6 +364,16 @@ def load_dataset(name: str, seed: int = 0) -> Tuple[Graph, int, bool]:
         base = name[len("synth-") :]
         if base == "small":
             return synthetic_graph(2000, 20000, 64, 7, seed=seed)
+        if base == "papers100m-small":
+            # scaled-down papers100M stand-in (same feat/class dims, ~0.5%
+            # of the nodes) for exercising the UVA feature-cache path and
+            # sparse-label (-1) handling without 160 GB of raw data
+            g, c, ml = synthetic_graph(500_000, 8_000_000, 128, 172, seed=seed)
+            labeled = np.random.default_rng(seed).random(g.n_nodes) < 0.014
+            g.ndata["labels"] = np.where(labeled, g.ndata["labels"], -1)
+            for m in ("train_mask", "val_mask", "test_mask"):
+                g.ndata[m] &= labeled
+            return g, c, ml
         if base in DATASET_STATS:
             n, e, f, c, ml = DATASET_STATS[base]
             return synthetic_graph(n, e, f, c, multilabel=ml, seed=seed)

