@@ -61,7 +61,14 @@ def frontier_gather(frontier: Frontier, data: jax.Array) -> jax.Array:
     order.  Edge-indexed device arrays carry EDGE_PAD >= ck trailing zeros
     (DeviceGraph upload / init_exp3_weights) so the grid view always covers
     the last partial row.
+
+    ``data`` may also be a sharded-storage handle (parallel/shards.py
+    EShard — one device's contiguous slice of the global array); the gather
+    then runs as a distributed row request/serve over the mesh, returning
+    the identical values.
     """
+    if hasattr(data, "frontier_rows"):  # edge-sharded storage
+        return data.frontier_rows(frontier)
     ck = frontier.ck
     n_rows = frontier.chunk_gidx.shape[0]
     need = ck  # minimum one full row

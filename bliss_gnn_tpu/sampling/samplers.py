@@ -121,7 +121,13 @@ def init_exp3_weights(
 
 
 def exp3_row(exp3_weights: jax.Array, layer: int, n_layers: int) -> jax.Array:
-    """One layer's arm-weight row (a static slice of the flat state)."""
+    """One layer's arm-weight row (a static slice of the flat state).
+
+    Also accepts a sharded-state handle (parallel/shards.py ShardedExp3);
+    the returned row is then an EShard serving the same values through the
+    distributed row gather."""
+    if hasattr(exp3_weights, "layer_row"):  # edge-sharded storage
+        return exp3_weights.layer_row(layer)
     row_len = exp3_weights.shape[0] // n_layers
     return jax.lax.slice(
         exp3_weights, (layer * row_len,), ((layer + 1) * row_len,)

@@ -126,6 +126,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "all-gathered EXP3 deltas (parallel/dp.py); 0 = all "
                         "visible devices; 1 = single device (reference "
                         "behavior)")
+    p.add_argument("--shard-graph", action="store_true", default=False,
+                   help="edge-partition the graph, features, and EXP3 state "
+                        "over the dp mesh (O(E/S + N/S) per device — graphs "
+                        "beyond one HBM; parallel/shardedstep.py).  Requires "
+                        "--dp N with N != 1")
     return p
 
 
@@ -181,6 +186,7 @@ def config_from_args(args) -> "TrainConfig":
         cache_size=args.cache_size,
         steps_per_call=args.steps_per_call,
         dp=args.dp,
+        shard_graph=args.shard_graph,
         compute_dtype="float32" if args.precision == "highest" else "bfloat16",
     )
 

@@ -37,6 +37,42 @@ from bliss_gnn_tpu.sampling.samplers import (
 from bliss_gnn_tpu.train.metrics import F1State, f1_update
 
 
+class StepStorage:
+    """How the step body reads node rows and owns the EXP3 state.
+
+    The default is single-buffer HBM residency (the graph/features/EXP3
+    state fully resident, possibly replicated per device under DP).
+    parallel/shardedstep.py substitutes edge/node-range sharded storage —
+    same step semantics, O(E/S + N/S) per-device memory."""
+
+    def node_rows(self, graph, name: str, gids: jax.Array) -> jax.Array:
+        return jnp.take(graph.ndata[name], gids, axis=0)
+
+    def exp3_view(self, exp3):
+        """What sample_blocks / exp3_row consume as the arm-weight state."""
+        return exp3
+
+    def sync_deltas(self, deltas, dp_axis):
+        """Under DP, all-gather each shard's sparse (eid, exponent) lists
+        (a few KB/step) so every holder of the state applies every
+        shard's multiplicative update."""
+        if dp_axis is None:
+            return deltas
+        return [
+            (
+                jax.lax.all_gather(eid, dp_axis),
+                jax.lax.all_gather(dr, dp_axis),
+            )
+            for (eid, dr) in deltas
+        ]
+
+    def apply_deltas(self, exp3, deltas, normalize: bool):
+        return apply_exp3_deltas(exp3, deltas, normalize=normalize)
+
+
+_DEFAULT_STORAGE = StepStorage()
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
@@ -123,23 +159,23 @@ def make_eval_step(
 
 
 def _make_eval_fn(model, sampler_cfg, plan, multilabel,
-                  dp_axis: Optional[str] = None):
+                  dp_axis: Optional[str] = None,
+                  storage: Optional[StepStorage] = None):
     """The raw eval body; with ``dp_axis`` each device samples/evaluates its
     seed shard (device-folded key) and the (f1, loss*n, n) tuple is
     psum-reduced — the sharded half of parallel.dp.make_dp_eval_step."""
+    storage = storage or _DEFAULT_STORAGE
 
     def step(state: TrainState, key: jax.Array, seeds, seeds_mask,
              graph: DeviceGraph):
-        features = graph.ndata["features"]
-        labels_all = graph.ndata["labels"]
         if dp_axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(dp_axis))
         blocks, _ = sample_blocks(
             graph, sampler_cfg, plan, key, seeds, seeds_mask,
-            state.exp3_weights,
+            storage.exp3_view(state.exp3_weights),
         )
-        x = jnp.take(features, blocks[0].src_gids, axis=0)
-        labels = jnp.take(labels_all, blocks[-1].dst_gids, axis=0)
+        x = storage.node_rows(graph, "features", blocks[0].src_gids)
+        labels = storage.node_rows(graph, "labels", blocks[-1].dst_gids)
         dst_mask = blocks[-1].dst_mask
         logits, _ = model.apply(state.params, blocks, x, deterministic=True)
         loss = cross_entropy_loss(logits, labels, dst_mask, multilabel)
@@ -185,7 +221,8 @@ def make_multi_train_step(
 
 def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel,
                   dp_axis: Optional[str] = None,
-                  exp3_normalize: bool = False):
+                  exp3_normalize: bool = False,
+                  storage: Optional[StepStorage] = None):
     """The raw (untraced) fused step body shared by make_train_step,
     make_multi_train_step, and (under shard_map) parallel.dp's
     make_dp_train_step.
@@ -205,10 +242,9 @@ def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel,
       capacity refit sees the worst shard.
     """
     del graph
+    storage = storage or _DEFAULT_STORAGE
 
     def step(state: TrainState, seeds, seeds_mask, graph: DeviceGraph):
-        features = graph.ndata["features"]
-        labels_all = graph.ndata["labels"]
         key, k_sample, k_drop = jax.random.split(state.key, 3)
         if dp_axis is not None:
             me = jax.lax.axis_index(dp_axis)
@@ -216,10 +252,10 @@ def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel,
             k_drop = jax.random.fold_in(k_drop, me)
         blocks, samp_stats = sample_blocks(
             graph, sampler_cfg, plan, k_sample, seeds, seeds_mask,
-            state.exp3_weights,
+            storage.exp3_view(state.exp3_weights),
         )
-        x = jnp.take(features, blocks[0].src_gids, axis=0)
-        labels = jnp.take(labels_all, blocks[-1].dst_gids, axis=0)
+        x = storage.node_rows(graph, "features", blocks[0].src_gids)
+        labels = storage.node_rows(graph, "labels", blocks[-1].dst_gids)
         dst_mask = blocks[-1].dst_mask
 
         def loss_fn(params):
@@ -245,16 +281,9 @@ def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel,
             deltas = exp3_edge_deltas(
                 graph, sampler_cfg, blocks, aux["embed_norms"], aux["a_ijs"]
             )
-            if dp_axis is not None:
-                deltas = [
-                    (
-                        jax.lax.all_gather(eid, dp_axis),
-                        jax.lax.all_gather(dr, dp_axis),
-                    )
-                    for (eid, dr) in deltas
-                ]
-            exp3 = apply_exp3_deltas(
-                state.exp3_weights, deltas, normalize=exp3_normalize
+            deltas = storage.sync_deltas(deltas, dp_axis)
+            exp3 = storage.apply_deltas(
+                state.exp3_weights, deltas, exp3_normalize
             )
         else:
             exp3 = state.exp3_weights

@@ -139,6 +139,12 @@ class TrainConfig:
     # all-gathered EXP3 deltas — parallel/dp.py); 0 = all visible devices.
     # Multi-host pods initialize via parallel/multihost.py (env-driven).
     dp: int = 1
+    # edge-partitioned storage (parallel/shardedstep.py): shard the graph,
+    # feature matrix, and EXP3 state into contiguous ranges over the dp
+    # mesh — O(E/S + N/S) per device, for graphs beyond one HBM.  Sampled
+    # training is numerically equivalent to the replicated-DP path (tested);
+    # requires dp != 1.
+    shard_graph: bool = False
 
     @property
     def run_name(self) -> str:
@@ -149,6 +155,35 @@ class TrainConfig:
             f"{self.batch_size}_layers_{self.num_layers}_lr_{self.lr}_"
             f"eta_{self.eta}"
         )
+
+
+def _device_graph_struct(g: Graph, feature_dtype) -> DeviceGraph:
+    """A DeviceGraph of ShapeDtypeStructs mirroring Graph.to_device without
+    uploading anything — lets parameter-shape tracing (jax.eval_shape) run
+    when the real graph lives only as mesh shards (--shard-graph)."""
+    from bliss_gnn_tpu.sampling.frontier import EDGE_PAD
+
+    sds = jax.ShapeDtypeStruct
+    canon = jax.dtypes.canonicalize_dtype
+    e_pad = g.n_edges + EDGE_PAD
+    nd = {}
+    for k, v in g.ndata.items():
+        v = np.asarray(v)
+        nd[k] = sds(v.shape, feature_dtype if k == "features"
+                    else canon(v.dtype))
+    ed = {
+        k: sds((e_pad,) + np.asarray(v).shape[1:],
+               canon(np.asarray(v).dtype))
+        for k, v in g.edata.items()
+    }
+    return DeviceGraph(
+        csc_indptr=sds((g.n_nodes + 1,), jnp.int32),
+        csc_src=sds((e_pad,), jnp.int32),
+        csr_indptr=sds((g.n_nodes + 1,), jnp.int32),
+        csr_dst=sds((g.n_edges,), jnp.int32),
+        csr_eid=sds((g.n_edges,), jnp.int32),
+        ndata=nd, edata=ed, n_nodes=g.n_nodes, n_edges=g.n_edges,
+    )
 
 
 class Trainer:
@@ -184,6 +219,11 @@ class Trainer:
                     )
                 self.mesh = make_mesh(n_dev)
                 self.dp = n_dev
+        if cfg.shard_graph and self.dp <= 1:
+            raise ValueError(
+                "--shard-graph partitions the graph over the dp mesh; "
+                "it requires --dp N with N > 1 (or 0 = all devices)"
+            )
         if graph is None:
             graph, n_classes, multilabel = load_dataset(cfg.dataset)
             graph = Graph.canonicalize(graph, undirected=cfg.undirected)
@@ -197,6 +237,7 @@ class Trainer:
 
         self.feature_cache = None
         self.multi_step = None
+        self.sharded_graph = None
         if cfg.use_uva:
             # features stay host-resident; the device sees everything else
             from bliss_gnn_tpu.graph.featurecache import FeatureCache
@@ -210,8 +251,25 @@ class Trainer:
             graph.ndata = ndata_all
             cap = cfg.cache_size or min(graph.n_nodes, 1 << 21)
             self.feature_cache = FeatureCache(host_feat, cap, dtype=dtype)
+        elif cfg.shard_graph:
+            # edge-partitioned residency: no replicated device copy is ever
+            # uploaded — each device holds its contiguous edge/node range
+            # (parallel/shardedstep.py).  self.graph stays a shape-struct
+            # facade for parameter-shape tracing; final_eval uploads a
+            # replicated copy one-shot (beyond-HBM callers: see
+            # parallel/edgeshard.py for sharded inference).
+            from bliss_gnn_tpu.parallel.shardedstep import ShardedDeviceGraph
+
+            self.sharded_graph = ShardedDeviceGraph.build(
+                graph, self.dp, feature_dtype=dtype
+            )
+            self.graph = _device_graph_struct(graph, dtype)
         else:
             self.graph: DeviceGraph = graph.to_device(feature_dtype=dtype)
+        # what step functions receive as the graph argument
+        self._step_graph = (
+            self.sharded_graph if cfg.shard_graph else self.graph
+        )
         self.train_nid = np.where(graph.ndata["train_mask"])[0].astype(np.int32)
         self.val_nid = np.where(graph.ndata["val_mask"])[0].astype(np.int32)
         self.test_nid = np.where(graph.ndata["test_mask"])[0].astype(np.int32)
@@ -261,10 +319,17 @@ class Trainer:
         self._stop = False
         self._epochs_since_improve = 0
         self._steps_since_renorm = 0
-        self._renorm_fn = jax.jit(
-            lambda w: normalize_exp3_weights(w, cfg.num_layers),
-            donate_argnums=0,
-        )
+        if cfg.shard_graph:
+            from bliss_gnn_tpu.parallel.shardedstep import make_sharded_renorm
+
+            self._renorm_fn = make_sharded_renorm(
+                self.mesh, cfg.num_layers, self.sharded_graph.epr
+            )
+        else:
+            self._renorm_fn = jax.jit(
+                lambda w: normalize_exp3_weights(w, cfg.num_layers),
+                donate_argnums=0,
+            )
         if cfg.resume:
             # restart-from-step (SURVEY.md §5.3): restore the full state
             # pytree (params, opt_state, EXP3 arm weights, PRNG key, step)
@@ -312,6 +377,12 @@ class Trainer:
                 if self.sampler_cfg.is_bandit
                 else None
             )
+            if exp3 is not None and cfg.shard_graph:
+                from bliss_gnn_tpu.parallel.shardedstep import shard_exp3
+
+                exp3 = shard_exp3(
+                    exp3, cfg.num_layers, g.n_edges, self.dp
+                )
             self.state = TrainState(
                 params=params,
                 opt_state=self.tx.init(params),
@@ -337,6 +408,29 @@ class Trainer:
             self.train_step = self._uva_train_step
             self.eval_step = self._uva_eval_step
             self.multi_step = None
+        elif cfg.shard_graph:
+            from bliss_gnn_tpu.parallel.shardedstep import (
+                make_sharded_eval_step,
+                make_sharded_multi_train_step,
+                make_sharded_train_step,
+            )
+
+            self.train_step = make_sharded_train_step(
+                self.mesh, self.sharded_graph, self.model, self.tx,
+                self.sampler_cfg, self.plan, self.multilabel,
+                exp3_normalize=False,
+            )
+            self.eval_step = make_sharded_eval_step(
+                self.mesh, self.sharded_graph, self.model,
+                self.sampler_cfg, self.plan, self.multilabel,
+            )
+            self.multi_step = None
+            if cfg.steps_per_call > 1:
+                self.multi_step = make_sharded_multi_train_step(
+                    self.mesh, self.sharded_graph, self.model, self.tx,
+                    self.sampler_cfg, self.plan, self.multilabel,
+                    cfg.steps_per_call, exp3_normalize=False,
+                )
         elif self.dp > 1:
             from bliss_gnn_tpu.parallel.dp import (
                 make_dp_eval_step,
@@ -412,11 +506,14 @@ class Trainer:
             init_exp3_weights(self.cfg.num_layers, self.host_graph.n_edges)
             if self.sampler_cfg.is_bandit else None
         )
+        # graph passed as an eval_shape ARGUMENT: under --shard-graph it is
+        # a ShapeDtypeStruct facade (never uploaded), which eval_shape
+        # abstracts happily
         blocks, _ = jax.eval_shape(
-            lambda k: sample_blocks(
-                self.graph, self.sampler_cfg, self.plan, k, seeds, smask, exp3
+            lambda k, gg: sample_blocks(
+                gg, self.sampler_cfg, self.plan, k, seeds, smask, exp3
             ),
-            jax.random.PRNGKey(0),
+            jax.random.PRNGKey(0), self.graph,
         )
         blocks_z = jax.tree.map(
             lambda s: jnp.zeros(s.shape, s.dtype), blocks,
@@ -477,7 +574,7 @@ class Trainer:
                     )
                     st = time.time()
                     self.state, mstack = self.multi_step(
-                        self.state, seeds, masks, self.graph
+                        self.state, seeds, masks, self._step_graph
                     )
                     mstack = jax.device_get(mstack)
                     fb_time = (time.time() - st) / K
@@ -496,7 +593,7 @@ class Trainer:
                         )
                     st = time.time()
                     self.state, metrics = self.train_step(
-                        self.state, seeds, smask, self.graph
+                        self.state, seeds, smask, self._step_graph
                     )
                     metrics = jax.device_get(metrics)
                     fb_time = time.time() - st
@@ -615,7 +712,7 @@ class Trainer:
             smask = self._put_batch(np.arange(self.batch_size) < len(chunk))
             key, sub = jax.random.split(key)
             df1, dloss, dn = self.eval_step(
-                self.state, sub, seeds, smask, self.graph
+                self.state, sub, seeds, smask, self._step_graph
             )
             f1 = jax.tree.map(lambda a, b: a + b, f1, df1)
             loss_sum += float(dloss)
@@ -729,6 +826,12 @@ class Trainer:
         heads = tuple(
             [cfg.num_in_heads] * (cfg.num_layers - 1) + [cfg.num_out_heads]
         )
+        graph = self.graph
+        if cfg.shard_graph:
+            # one-shot replicated upload for full-graph inference; at true
+            # beyond-one-HBM scale route the aggregation through
+            # parallel/edgeshard.py (ring SpMM) instead
+            graph = self.host_graph.to_device(feature_dtype=self.dtype)
         spmm = None
         gat_attn = None
         use_pallas = cfg.inference_backend in ("pallas", "hybrid") or (
@@ -748,7 +851,7 @@ class Trainer:
                 cache_dir = os.path.join(os.getcwd(), ".jax_cache")
                 os.makedirs(cache_dir, exist_ok=True)
                 spmm = make_dual_spmm(
-                    self.graph,
+                    graph,
                     cache_path=os.path.join(
                         cache_dir,
                         f"hybrid_{self.host_graph.n_nodes}_"
@@ -758,12 +861,11 @@ class Trainer:
             else:
                 from bliss_gnn_tpu.models.inference import make_pallas_spmm
 
-                spmm = make_pallas_spmm(self.graph)
+                spmm = make_pallas_spmm(graph)
         if use_pallas and cfg.model == "gat":
             from bliss_gnn_tpu.models.inference import make_pallas_gat
 
-            gat_attn = make_pallas_gat(self.graph)
-        graph = self.graph
+            gat_attn = make_pallas_gat(graph)
         if self.feature_cache is not None:
             # full-graph inference needs the whole feature matrix; upload it
             # for the eval (callers at true out-of-HBM scale should eval on
@@ -783,7 +885,7 @@ class Trainer:
             residual=cfg.residual, dtype=self.dtype, spmm=spmm,
             gat_attn=gat_attn,
         )
-        labels = self.graph.ndata["labels"]
+        labels = graph.ndata["labels"]
         out = {}
         for nid, split in [
             (self.train_nid, "Train"),
