@@ -195,6 +195,100 @@ def layerwise_inference(
     return h
 
 
+def layerwise_inference_sharded(
+    model_name: str,
+    params,
+    host_graph,
+    mesh,
+    n_layers: int,
+    dtype=jnp.bfloat16,
+    axis: str = "dp",
+    features=None,
+) -> jax.Array:
+    """Full-graph layerwise inference with activations NODE-SHARDED over the
+    mesh — the multi-chip analog of the reference's node-minibatched
+    inference (model.py:351-362 bounds memory with a DataLoader batch of
+    128; here per-device memory is O(N/S * F + E/S) and the aggregation is
+    the ring SpMM of parallel/edgeshard.py, S-1 ppermute rotations).
+
+    SAGE/GCN only (GATv2's full-graph edge softmax is not ring-decomposed
+    yet — callers fall back to single-device inference).  Dense matmuls run
+    on the row-sharded activations via GSPMD (no collectives); only the
+    aggregation communicates.  Returns [N, n_classes] f32 logits
+    (node-sharded; np.asarray gathers them)."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from bliss_gnn_tpu.parallel.edgeshard import (
+        RingEdgeShards,
+        make_ring_spmm,
+    )
+
+    name = model_name.lower()
+    assert name in ("sage", "gcn"), (
+        "sharded layerwise inference covers SAGE/GCN; GATv2 needs the "
+        "single-device banded attention kernel"
+    )
+    S = mesh.shape[axis]
+    shards = RingEdgeShards.build(host_graph, S)
+    node_per = shards.node_per_shard
+    n_pad = S * node_per
+    n_nodes = host_graph.n_nodes
+    shard_rows = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    feats = np.asarray(
+        features if features is not None
+        else host_graph.ndata["features"]
+    )
+    h0 = np.zeros((n_pad, feats.shape[1]), np.float32)
+    h0[:n_nodes] = feats
+    h = jax.device_put(jnp.asarray(h0), shard_rows)
+    e_src = jax.device_put(shards.e_src_rel, shard_rows)
+    e_dst = jax.device_put(shards.e_dst_rel, shard_rows)
+    e_w = jax.device_put(shards.e_w, shard_rows)
+    in_deg = np.zeros(n_pad, np.float32)
+    in_deg[:n_nodes] = host_graph.in_degrees()
+    out_deg = np.zeros(n_pad, np.float32)
+    out_deg[:n_nodes] = host_graph.out_degrees()
+    in_deg = jax.device_put(jnp.asarray(in_deg), shard_rows)
+    out_deg = jax.device_put(jnp.asarray(out_deg), shard_rows)
+    spmm_fn = make_ring_spmm(mesh, (node_per, S), axis)
+
+    def spmm(feat):
+        return spmm_fn(e_src, e_dst, e_w, feat.astype(jnp.float32))
+
+    p = jax.device_put(params["params"], repl)
+    for l in range(n_layers):
+        last = l == n_layers - 1
+        lp = p[f"layers_{l}"]
+        if name == "sage":
+            Wn = lp["fc_neigh"]["kernel"].astype(dtype)
+            Ws = lp["fc_self"]["kernel"].astype(dtype)
+            b = lp["bias"].astype(jnp.float32)
+            lin_before = h.shape[1] > Wn.shape[1]
+            src_val = (h.astype(dtype) @ Wn) if lin_before else h.astype(dtype)
+            agg = spmm(src_val) / jnp.maximum(in_deg, 1.0)[:, None]
+            h_neigh = agg if lin_before else agg.astype(dtype) @ Wn
+            h = (h.astype(dtype) @ Ws).astype(jnp.float32) + h_neigh + b
+        else:  # gcn
+            W = lp["weight"]["kernel"].astype(dtype)
+            b = lp["weight"]["bias"].astype(jnp.float32)
+            feat = h.astype(dtype) * jax.lax.rsqrt(
+                jnp.maximum(out_deg, 1.0)
+            )[:, None].astype(dtype)
+            if h.shape[1] > W.shape[1]:
+                agg = spmm(feat @ W)
+            else:
+                agg = spmm(feat).astype(dtype) @ W
+                agg = agg.astype(jnp.float32)
+            h = agg * jax.lax.rsqrt(jnp.maximum(in_deg, 1.0))[:, None] + b
+        if not last:
+            h = jax.nn.relu(h)
+    return h[:n_nodes]
+
+
 def make_hybrid_spmm(graph: DeviceGraph, dense_t: int = 300,
                      cache_path: str | None = None,
                      band: int = 16384, wr: int = 256, sub: int = 256,
@@ -243,6 +337,34 @@ def make_hybrid_spmm(graph: DeviceGraph, dense_t: int = 300,
     def spmm(feat):
         return spmm_via_pallas_hybrid(feat, dl, graph.n_nodes)
     return spmm
+
+
+def dual_spmm_hbm_bytes(n_nodes: int, n_edges: int, n_feats: int) -> int:
+    """Upper estimate of the extra HBM the dual-routing backend needs:
+    hybrid layout (~12 B/edge-slot: int32 dst_rel + int32 src_rel + f32 w,
+    ~1.2x slot padding) + banded gather layout (~9 B/slot) + the banded
+    f32 feature / accumulator copies both kernels materialize
+    (2 paths x (n_bands*band + n_wins*wr) x f_pad x 4).  Measured ~2.3 GB
+    at Reddit scale (233k nodes / 115M edges / F=602), which this formula
+    puts at ~2.9 GB — deliberately conservative."""
+    f_pad = _round_up_128(max(n_feats, 256))
+    layouts = int(1.2 * n_edges * (12 + 9))
+    feat_copies = 2 * 2 * n_nodes * f_pad * 4
+    return layouts + feat_copies
+
+
+def _round_up_128(x: int) -> int:
+    return ((x + 127) // 128) * 128
+
+
+def free_device_hbm() -> int:
+    """Free bytes on the default device, best effort (memory_stats is
+    unavailable on some backends — assume a half-free v5e then)."""
+    try:
+        st = jax.devices()[0].memory_stats()
+        return int(st["bytes_limit"]) - int(st["bytes_in_use"])
+    except Exception:
+        return 8 << 30
 
 
 def make_dual_spmm(graph: DeviceGraph, dense_t: int = 300,

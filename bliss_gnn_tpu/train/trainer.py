@@ -827,23 +827,54 @@ class Trainer:
             [cfg.num_in_heads] * (cfg.num_layers - 1) + [cfg.num_out_heads]
         )
         graph = self.graph
+        if cfg.shard_graph and cfg.model in ("sage", "gcn"):
+            # node-sharded layerwise inference over the ring SpMM: per-device
+            # memory stays O(N/S * F + E/S), no replicated upload ever
+            from bliss_gnn_tpu.models.inference import (
+                layerwise_inference_sharded,
+            )
+
+            logits = layerwise_inference_sharded(
+                cfg.model, self.state.params, self.host_graph, self.mesh,
+                cfg.num_layers, dtype=self.dtype,
+            )
+            labels = jnp.asarray(self.host_graph.ndata["labels"])
+            return self._split_f1(logits, labels)
         if cfg.shard_graph:
-            # one-shot replicated upload for full-graph inference; at true
-            # beyond-one-HBM scale route the aggregation through
-            # parallel/edgeshard.py (ring SpMM) instead
+            # GATv2: the banded attention kernel is single-device — one-shot
+            # replicated upload for the eval
             graph = self.host_graph.to_device(feature_dtype=self.dtype)
         spmm = None
         gat_attn = None
-        use_pallas = cfg.inference_backend in ("pallas", "hybrid") or (
-            cfg.inference_backend == "auto"
-            and self.host_graph.n_edges > 2_000_000
-            and jax.default_backend() not in ("cpu",)
-        )
+        backend = cfg.inference_backend
+        if backend == "auto":
+            # measured-best default: the dual hybrid/packed routing (173 M
+            # edges/s at F=602, 367 M at hidden widths vs 137 M for the
+            # plain banded kernel) whenever the graph is Pallas-sized and
+            # the extra layouts fit HBM; plain banded otherwise
+            if (
+                self.host_graph.n_edges > 2_000_000
+                and jax.default_backend() not in ("cpu",)
+            ):
+                from bliss_gnn_tpu.models.inference import (
+                    dual_spmm_hbm_bytes,
+                    free_device_hbm,
+                )
+
+                need = dual_spmm_hbm_bytes(
+                    self.host_graph.n_nodes, self.host_graph.n_edges,
+                    int(graph.ndata["features"].shape[1]),
+                )
+                backend = (
+                    "hybrid" if need < 0.6 * free_device_hbm() else "pallas"
+                )
+            else:
+                backend = "xla"
+        use_pallas = backend in ("pallas", "hybrid")
         if use_pallas and cfg.model in ("sage", "gcn"):
-            if cfg.inference_backend == "hybrid":
+            if backend == "hybrid":
                 # per-layer routing: degree-sorted dense-block kernel for
-                # wide features, packed banded kernel for hidden layers —
-                # explicit opt-in (costs a second layout build + HBM).
+                # wide features, packed banded kernel for hidden layers.
                 # The O(E log E) host layout build (~3 min at Reddit scale)
                 # is cached on disk next to the XLA compile cache.
                 from bliss_gnn_tpu.models.inference import make_dual_spmm
@@ -885,7 +916,12 @@ class Trainer:
             residual=cfg.residual, dtype=self.dtype, spmm=spmm,
             gat_attn=gat_attn,
         )
-        labels = graph.ndata["labels"]
+        return self._split_f1(logits, graph.ndata["labels"])
+
+    def _split_f1(self, logits, labels) -> Dict[str, float]:
+        """Per-split micro-F1 of full-graph logits + Final Accuracy logging
+        (train_lightning.py:694-705)."""
+        logits = jnp.asarray(logits)
         out = {}
         for nid, split in [
             (self.train_nid, "Train"),

@@ -178,6 +178,29 @@ def test_trainer_shard_graph_end_to_end(tmp_path):
     assert tr.state.exp3_weights.shape[0] == 8
 
 
+def test_sharded_layerwise_inference_matches_single_device():
+    """Node-sharded ring-SpMM inference == single-device layerwise
+    inference (the reference's final-eval math, model.py:335-383)."""
+    from bliss_gnn_tpu.models.inference import (
+        layerwise_inference,
+        layerwise_inference_sharded,
+    )
+
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    g, dg, cfg, plan, model, tx, mk_state, exp3, ml = _setup()
+    st = mk_state(exp3)
+    ref = layerwise_inference("sage", st.params, dg, 2, dtype=jnp.float32)
+    # feed the same bf16-rounded features the device graph holds
+    feats = np.asarray(dg.ndata["features"].astype(jnp.float32))
+    shd = layerwise_inference_sharded(
+        "sage", st.params, g, mesh, 2, dtype=jnp.float32, features=feats,
+    )
+    np.testing.assert_allclose(
+        np.asarray(shd), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_sharded_eval_matches_dp_eval():
     from bliss_gnn_tpu.parallel.dp import make_dp_eval_step
 
