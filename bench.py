@@ -262,17 +262,19 @@ def main():
     xh = jnp.asarray(
         np.random.default_rng(3).normal(size=(N_NODES, 256)), jnp.bfloat16
     )
+    # the layout rides as an ARGUMENT: closing the jit over its device
+    # arrays inlines ~GBs into the remote-compile payload (CLAUDE.md)
     packed_fn = jax.jit(
-        lambda x, s: spmm_via_pallas(
-            x * jnp.bfloat16(1 + s * 1e-2), dbl, N_NODES, packed=True
+        lambda x, dl_, s: spmm_via_pallas(
+            x * jnp.bfloat16(1 + s * 1e-2), dl_, N_NODES, packed=True
         )[0, 0]
     )
-    float(packed_fn(xh, jnp.float32(0)))
+    float(packed_fn(xh, dbl, jnp.float32(0)))
     _log("packed kernel warm")
     ts = []
     for r in range(3):
         t0 = time.perf_counter()
-        float(packed_fn(xh, jnp.float32(1 + r)))
+        float(packed_fn(xh, dbl, jnp.float32(1 + r)))
         ts.append(time.perf_counter() - t0 - DISPATCH_OVERHEAD_S)
     result["spmm_hidden_edges_per_s_M"] = round(n_edges / min(ts) / 1e6, 1)
     del dbl, xh

@@ -69,6 +69,22 @@ def maybe_lut_gather(lut: jax.Array, idx: jax.Array) -> jax.Array:
     return out.astype(lut.dtype)
 
 
+def maybe_lut_gather_multi(luts, idx: jax.Array):
+    """K gathers sharing one index list.
+
+    Currently per-field passes: an interleaved-LUT kernel (K fields of an
+    entry packed in one 128-lane row, one row copy serving all K) was
+    built and probed on v5e (2026-08-20) and LOST — with a 3M-entry LUT
+    and 2M sorted indices the single-field kernel runs at 0.99 ns/idx, the
+    K=8 interleaved variant at 1.82 ns/FIELD (9.1 ns/idx): the one-hot
+    lane select, not the row copy, dominates at these sizes, and select
+    work scales per extracted field (a grouped-reduction select that would
+    amortize it hits Mosaic's 'unsupported shape cast' on [et, 128] ->
+    [et, 128/K, K]).  Callers still use this entry point so a future
+    select-efficient variant can slot in."""
+    return [maybe_lut_gather(l, idx) for l in luts]
+
+
 def _lut_gather_kernel(et: int, unroll: int, flat2d: bool = False):
     def kernel(idx_smem, idx_col, lut_ref, out_ref, msgs_ref):
         def body(i, _):

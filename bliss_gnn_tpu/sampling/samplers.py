@@ -342,25 +342,33 @@ def _build_block(
         n_seed_cap + jnp.arange(extra_cap, dtype=jnp.int32), mode="drop"
     )
 
-    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
+    from bliss_gnn_tpu.ops.gather_pallas import (
+        maybe_lut_gather,
+        maybe_lut_gather_multi,
+    )
 
     keep = frontier.e_mask & maybe_lut_gather(sel, cand.src_cpos)
     eidx, e_mask_b, n_kept = compact_by_mask(keep, e_blk_cap)
 
-    e_src_cpos = maybe_lut_gather(cand.src_cpos, eidx)
-    e_src = jnp.where(e_mask_b, maybe_lut_gather(pos_c, e_src_cpos), 0)
-    e_dst = jnp.where(e_mask_b, maybe_lut_gather(frontier.dst_spos, eidx), 0)
-    eid = jnp.where(e_mask_b, maybe_lut_gather(frontier.eid, eidx), 0)
-    w = jnp.where(
-        e_mask_b, maybe_lut_gather(edge_w, eidx).astype(jnp.float32), 0.0
-    )
     if alpha_w is None:
         alpha_w = edge_w
-    e_alpha = jnp.where(
-        e_mask_b, maybe_lut_gather(alpha_w, eidx).astype(jnp.float32), 0.0
+    # all five frontier-indexed fields of a kept edge in ONE kernel pass
+    # (interleaved-LUT gather — the row copy is the cost, not the select)
+    e_src_cpos, e_dst_r, eid_r, w_r, alpha_r = maybe_lut_gather_multi(
+        [cand.src_cpos, frontier.dst_spos, frontier.eid,
+         edge_w, alpha_w], eidx,
     )
+    e_dst = jnp.where(e_mask_b, e_dst_r, 0)
+    eid = jnp.where(e_mask_b, eid_r, 0)
+    w = jnp.where(e_mask_b, w_r.astype(jnp.float32), 0.0)
+    e_alpha = jnp.where(e_mask_b, alpha_r.astype(jnp.float32), 0.0)
 
-    p_src_edge = maybe_lut_gather(node_prob, e_src_cpos).astype(jnp.float32)
+    # both candidate-indexed fields in one pass
+    e_src_r, p_src_r = maybe_lut_gather_multi(
+        [pos_c, node_prob], e_src_cpos,
+    )
+    e_src = jnp.where(e_mask_b, e_src_r, 0)
+    p_src_edge = p_src_r.astype(jnp.float32)
     wt = jnp.where(p_src_edge > 0, w / jnp.where(p_src_edge > 0, p_src_edge, 1.0), 0.0)
     d = segment_count(e_dst, n_seed_cap, e_mask_b).astype(jnp.float32)
     if debias == "ladies":
@@ -656,67 +664,56 @@ def _calculate_alpha(
     return jnp.where(block.e_mask, alpha, 0.0)
 
 
-def _calculate_rewards(
-    cfg: SamplerConfig, block: Block, alpha: jax.Array,
+def _rewards_and_delta(
+    graph: DeviceGraph, cfg: SamplerConfig, block: Block, alpha: jax.Array,
     embed_norm: jax.Array,
 ) -> jax.Array:
-    """STEP_06: r_ij = alpha^2 / k_i * ||h_j||^2 / q_ij^2
-    (bandit_sampler.py:160-193).  k_i = kept-edge in-degree of dst i;
-    embed_norm = ||h_src|| recorded by the model pre-aggregation."""
-    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
+    """STEP_06 reward + clipped exponent, with the per-edge gathers FUSED.
 
-    k_i = block.in_degrees().astype(jnp.float32)
-    a_div_k = (alpha * alpha) / maybe_lut_gather(k_i, block.e_dst)
-    a_div_k = jnp.nan_to_num(a_div_k, posinf=0.0)  # :187
-    h = maybe_lut_gather(embed_norm.astype(jnp.float32), block.e_src)
-    q = block.e_q
-    h_div_q = (h * h) / jnp.where(q > 0, q * q, 1.0)
-    r = a_div_k * h_div_q
-    return jnp.where(block.e_mask, r, 0.0)
+    r_ij = alpha^2 / k_i * ||h_j||^2 / q_ij^2   (bandit_sampler.py:160-193)
+    dr_e = min(delta * (r_e / P_src) / n_i, 1)  (bandit_sampler.py:236-246)
 
+    All per-dst quantities (k_i = kept in-degree, n_i = full-graph
+    in-degree, the optional paper delta) fold into ONE per-dst factor
+    vector gathered by ``e_dst`` in one pass; the two per-src quantities
+    (||h_src||, P_src) ride one interleaved-LUT pass by ``e_src`` — two
+    gather passes total where the unfused chain paid four.  Masked edges
+    carry 0 (multiplier 1)."""
+    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather_multi
 
-def _edge_delta(
-    graph: DeviceGraph, cfg: SamplerConfig, block: Block, rewards: jax.Array,
-) -> jax.Array:
-    """The clipped EXP3 exponent per kept edge:
-    dr_e = min(delta * (r_e / P_src) / n_i, 1)  (bandit_sampler.py:236-246).
-    Masked edges carry 0 (multiplier 1).
-
-    n_i (the dst's full-graph in-degree) is built as a [n_dst_cap] per-seed
-    vector first and broadcast to edges through the LUT gather — two small
-    indptr takes instead of two e_cap-sized scalar gathers from the [N+1]
-    offsets array."""
-    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
-
-    p_src = maybe_lut_gather(block.src_node_prob, block.e_src)
-    r_hat = rewards / jnp.where(p_src > 0, p_src, 1.0)
+    k_i = block.in_degrees().astype(jnp.float32)  # [n_dst_cap], kept degree
     safe_dst = jnp.where(block.dst_mask, block.dst_gids, 0)
     n_i_seed = (
         jnp.take(graph.csc_indptr, safe_dst + 1)
         - jnp.take(graph.csc_indptr, safe_dst)
     ).astype(jnp.float32)
-    n_i = maybe_lut_gather(
-        n_i_seed, jnp.clip(block.e_dst, 0, block.n_dst_cap - 1)
-    )
     if cfg.exp3_delta_formula:
-        # paper delta (bandit_sampler.py:226-229, commented out upstream):
-        # per-dst, built on the seed vector then LUT-broadcast to edges
-        k_seed = jnp.maximum(
-            block.in_degrees().astype(jnp.float32), 1.0
-        )
+        # paper delta (bandit_sampler.py:226-229, commented out upstream)
+        k_seed = jnp.maximum(k_i, 1.0)
         n_seed = jnp.maximum(n_i_seed, 1.0)
         nom = (
             (1.0 - cfg.eta) * cfg.eta ** 4 * k_seed ** 5
             * jnp.log(jnp.maximum(n_seed / k_seed, 1.0))
         )
         delta_seed = jnp.sqrt(nom / (cfg.exp3_T * n_seed ** 4))
-        delta = maybe_lut_gather(
-            delta_seed, jnp.clip(block.e_dst, 0, block.n_dst_cap - 1)
-        )
     else:
-        delta = cfg.exp3_delta  # constant (the reference's live branch)
-    dr = r_hat * (delta / jnp.maximum(n_i, 1.0))
-    dr = jnp.minimum(dr, 1.0)  # delta_reward[delta_reward > 1] = 1
+        delta_seed = jnp.full_like(n_i_seed, cfg.exp3_delta)  # constant
+    # dr = (alpha^2 * inv_k) * (h^2 / q^2 / p_src) * (delta / n_i):
+    # combine the per-dst pieces into dst_fac = inv_k * delta / max(n_i, 1)
+    inv_k = jnp.where(k_i > 0, 1.0 / jnp.where(k_i > 0, k_i, 1.0), 0.0)
+    dst_fac_seed = inv_k * delta_seed / jnp.maximum(n_i_seed, 1.0)
+    e_dst_c = jnp.clip(block.e_dst, 0, block.n_dst_cap - 1)
+    (dst_fac,) = maybe_lut_gather_multi([dst_fac_seed], e_dst_c)
+    h, p_src = maybe_lut_gather_multi(
+        [embed_norm.astype(jnp.float32), block.src_node_prob], block.e_src,
+    )
+    q = block.e_q
+    h_div_q = (h * h) / jnp.where(q > 0, q * q, 1.0)
+    r_over_p = (
+        jnp.nan_to_num(alpha * alpha, posinf=0.0) * h_div_q
+        / jnp.where(p_src > 0, p_src, 1.0)
+    )
+    dr = jnp.minimum(r_over_p * dst_fac, 1.0)  # delta_reward[>1] = 1
     return jnp.where(block.e_mask, dr, 0.0)
 
 
@@ -736,8 +733,8 @@ def exp3_edge_deltas(
     for idx, block in enumerate(blocks):
         a_ij = None if a_ijs is None else a_ijs[idx]
         alpha = _calculate_alpha(graph, cfg, block, a_ij)
-        rewards = _calculate_rewards(cfg, block, alpha, embed_norms[idx])
-        out.append((block.eid, _edge_delta(graph, cfg, block, rewards)))
+        dr = _rewards_and_delta(graph, cfg, block, alpha, embed_norms[idx])
+        out.append((block.eid, dr))
     return out
 
 

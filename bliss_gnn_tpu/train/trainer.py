@@ -871,6 +871,22 @@ class Trainer:
             else:
                 backend = "xla"
         use_pallas = backend in ("pallas", "hybrid")
+        if (
+            cfg.model == "gat"
+            and not use_pallas
+            and jax.default_backend() not in ("cpu",)
+            and self.host_graph.n_edges > 2_000_000
+        ):
+            # hard fence: the XLA streaming edge-softmax path is known to
+            # crash the TPU worker at full scale (README); auto-routing
+            # never selects it there, but an explicit --inference-backend
+            # xla must fail loudly instead of killing the worker
+            raise RuntimeError(
+                "full-graph GATv2 inference through the XLA streaming path "
+                f"is unstable on TPU at {self.host_graph.n_edges} edges "
+                "(worker crash) — use --inference-backend auto or pallas "
+                "(banded online-softmax kernel)"
+            )
         if use_pallas and cfg.model in ("sage", "gcn"):
             if backend == "hybrid":
                 # per-layer routing: degree-sorted dense-block kernel for

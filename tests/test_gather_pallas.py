@@ -6,6 +6,7 @@ f32-only kernel could not represent (global edge ids at Reddit scale are
 ~1.15e8 > 2^24).
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from bliss_gnn_tpu.ops.gather_pallas import lut_gather
