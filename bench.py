@@ -283,7 +283,9 @@ def main():
     if os.environ.get("BLISS_BENCH_STEP", "1") != "0":
         result.update(_bench_step(indptr, csc_src))
     if os.environ.get("BLISS_BENCH_TTF1", "1") != "0":
-        result["time_to_f1_90_s"] = _bench_time_to_f1()
+        ttf1, ttf1_f1 = _bench_time_to_f1()
+        result["time_to_f1_90_s"] = ttf1
+        result["ttf1_final_f1"] = ttf1_f1
 
     print(json.dumps(result))
 
@@ -424,10 +426,12 @@ def _bench_time_to_f1(target: float = 0.9, max_chains: int = 40):
     rng = np.random.default_rng(0)
     train_ids = np.where(g.ndata["train_mask"])[0]
     seeds0 = jnp.asarray(rng.choice(train_ids, bs), jnp.int32)
+    # graph/EXP3/seed arrays ride as ARGUMENTS — closing the jit over
+    # device arrays inlines them into the remote-compile payload (CLAUDE.md)
     blocks, _ = jax.jit(
-        lambda k: sample_blocks(dg, cfg, plan, k, seeds0,
-                                jnp.ones(bs, bool), exp3)
-    )(jax.random.PRNGKey(0))
+        lambda k, g, s, e: sample_blocks(g, cfg, plan, k, s,
+                                         jnp.ones(bs, bool), e)
+    )(jax.random.PRNGKey(0), dg, seeds0, exp3)
     x = jnp.take(dg.ndata["features"], blocks[0].src_gids, axis=0)
     params = model.init(jax.random.PRNGKey(1), blocks, x)
     tx = make_optimizer(2e-3, max(1, len(train_ids) // bs))
@@ -446,17 +450,20 @@ def _bench_time_to_f1(target: float = 0.9, max_chains: int = 40):
     jax.block_until_ready(mstack["train_loss"])
     _log("ttf1 chain compiled")
     t0 = time.perf_counter()
+    reached = False
     for _ in range(max_chains):
         f1_last = float(f1_compute(
             jax.tree.map(lambda a: a[-1], mstack["f1"]), ml))
         if f1_last >= target:
+            reached = True
             break
         s, m = chain_batch()
         state, mstack = multi(state, s, m, dg)
         jax.block_until_ready(mstack["train_loss"])
     t = time.perf_counter() - t0
     _log(f"ttf1: {t:.1f} s (last-chain f1 {f1_last:.3f})")
-    return round(t, 1)
+    # unreached target must not masquerade as a fast time (null in the JSON)
+    return (round(t, 1) if reached else None), round(f1_last, 3)
 
 
 if __name__ == "__main__":

@@ -251,6 +251,17 @@ def normalized_edata(
         W = np.ones(g.n_edges, dtype=np.float32)
     else:
         W = np.asarray(g.edata[weight], dtype=np.float32)
+    if multiply_weight:
+        # native single-pass over the CSC ranges (graphcore.cpp
+        # normalized_edata_c) — np.add.at is ~20x slower at Reddit scale
+        from bliss_gnn_tpu.graph.native import normalized_edata_native
+
+        out = normalized_edata_native(
+            np.asarray(g.csc_indptr), None if weight is None else W,
+            g.n_edges,
+        )
+        if out is not None:
+            return out
     dst = np.repeat(np.arange(g.n_nodes), np.diff(g.csc_indptr))
     sums = np.zeros(g.n_nodes, dtype=np.float32)
     np.add.at(sums, dst, W)

@@ -358,13 +358,16 @@ def _round_up_128(x: int) -> int:
 
 
 def free_device_hbm() -> int:
-    """Free bytes on the default device, best effort (memory_stats is
-    unavailable on some backends — assume a half-free v5e then)."""
+    """Free bytes on the default device, best effort.  When memory_stats is
+    unavailable the answer must fail TOWARD the non-hybrid backend (report
+    0 free): a too-generous guess routes final eval into the dual-layout
+    path and OOMs it, while 0 merely falls back to the plain banded
+    kernel."""
     try:
         st = jax.devices()[0].memory_stats()
         return int(st["bytes_limit"]) - int(st["bytes_in_use"])
     except Exception:
-        return 8 << 30
+        return 0
 
 
 def make_dual_spmm(graph: DeviceGraph, dense_t: int = 300,

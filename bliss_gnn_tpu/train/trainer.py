@@ -224,6 +224,12 @@ class Trainer:
                 "--shard-graph partitions the graph over the dp mesh; "
                 "it requires --dp N with N > 1 (or 0 = all devices)"
             )
+        if cfg.shard_graph and cfg.use_uva:
+            raise NotImplementedError(
+                "--use-uva with --shard-graph is not wired yet: the sharded "
+                "step serves features from device shards, the UVA cache "
+                "from host RAM — pick one residency"
+            )
         if graph is None:
             graph, n_classes, multilabel = load_dataset(cfg.dataset)
             graph = Graph.canonicalize(graph, undirected=cfg.undirected)
@@ -861,9 +867,12 @@ class Trainer:
                     free_device_hbm,
                 )
 
+                # feature width from the HOST graph: under --use-uva the
+                # device graph's ndata excludes 'features' (host-resident
+                # until the upload below)
                 need = dual_spmm_hbm_bytes(
                     self.host_graph.n_nodes, self.host_graph.n_edges,
-                    int(graph.ndata["features"].shape[1]),
+                    int(self.host_graph.ndata["features"].shape[1]),
                 )
                 backend = (
                     "hybrid" if need < 0.6 * free_device_hbm() else "pallas"

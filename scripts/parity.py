@@ -23,7 +23,7 @@ does, per dataset found on disk:
    stdout, so the table can be put side-by-side with a reference run.
 
 Per-layer activation parity (allclose with injected sampled indices) lives
-in tests/test_model_parity.py and runs on the toy fixture; this script is
+in tests/test_models.py and runs on the toy fixture; this script is
 the DATA-side half.
 """
 from __future__ import annotations

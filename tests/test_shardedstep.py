@@ -7,6 +7,8 @@ contiguous ranges, O(E/S + N/S) per device) is numerically equivalent to
 the replicated-storage DP step — the distributed row gather serves
 identical values, EXP3 updates are disjoint-support across shards."""
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -143,7 +145,6 @@ def test_sharded_renorm_matches_global():
     noise = rng.random(w.shape).astype(np.float32) + 0.5
     w = jnp.asarray(np.where(w > 0, w * noise, 0.0), exp3.dtype)
     stacked = shard_exp3(w, cfg.n_layers, g.n_edges, n_dev)
-    epr = stacked.shape[1] // cfg.n_layers  # (L*epr+1)//L == epr for epr>=1
     epr = (stacked.shape[1] - 1) // cfg.n_layers
     renorm = make_sharded_renorm(mesh, cfg.n_layers, epr)
     out = unshard_exp3(renorm(stacked), cfg.n_layers, g.n_edges)
@@ -178,7 +179,8 @@ def test_trainer_shard_graph_end_to_end(tmp_path):
     assert tr.state.exp3_weights.shape[0] == 8
 
 
-def test_sharded_layerwise_inference_matches_single_device():
+@pytest.mark.parametrize("model_kind", ["sage", "gcn"])
+def test_sharded_layerwise_inference_matches_single_device(model_kind):
     """Node-sharded ring-SpMM inference == single-device layerwise
     inference (the reference's final-eval math, model.py:335-383)."""
     from bliss_gnn_tpu.models.inference import (
@@ -189,12 +191,24 @@ def test_sharded_layerwise_inference_matches_single_device():
     n_dev = 8
     mesh = make_mesh(n_dev)
     g, dg, cfg, plan, model, tx, mk_state, exp3, ml = _setup()
-    st = mk_state(exp3)
-    ref = layerwise_inference("sage", st.params, dg, 2, dtype=jnp.float32)
+    if model_kind == "sage":
+        params = mk_state(exp3).params
+    else:  # same block shapes, GCN parameterization
+        gcn = build_model(model_kind, 16, 4, 2)
+        seeds0 = jnp.arange(plan.batch_size, dtype=jnp.int32)
+        blocks, _ = sample_blocks(
+            dg, cfg, plan, jax.random.PRNGKey(0), seeds0,
+            jnp.ones(plan.batch_size, bool), exp3,
+        )
+        x = jnp.take(dg.ndata["features"], blocks[0].src_gids, axis=0)
+        params = gcn.init(jax.random.PRNGKey(1), blocks, x)
+    ref = layerwise_inference(
+        model_kind, params, dg, 2, dtype=jnp.float32
+    )
     # feed the same bf16-rounded features the device graph holds
     feats = np.asarray(dg.ndata["features"].astype(jnp.float32))
     shd = layerwise_inference_sharded(
-        "sage", st.params, g, mesh, 2, dtype=jnp.float32, features=feats,
+        model_kind, params, g, mesh, 2, dtype=jnp.float32, features=feats,
     )
     np.testing.assert_allclose(
         np.asarray(shd), np.asarray(ref), rtol=1e-4, atol=1e-4
