@@ -204,6 +204,9 @@ def layerwise_inference_sharded(
     dtype=jnp.bfloat16,
     axis: str = "dp",
     features=None,
+    heads: Optional[tuple] = None,
+    negative_slope: float = 0.2,
+    residual: bool = False,
 ) -> jax.Array:
     """Full-graph layerwise inference with activations NODE-SHARDED over the
     mesh — the multi-chip analog of the reference's node-minibatched
@@ -211,25 +214,24 @@ def layerwise_inference_sharded(
     128; here per-device memory is O(N/S * F + E/S) and the aggregation is
     the ring SpMM of parallel/edgeshard.py, S-1 ppermute rotations).
 
-    SAGE/GCN only (GATv2's full-graph edge softmax is not ring-decomposed
-    yet — callers fall back to single-device inference).  Dense matmuls run
-    on the row-sharded activations via GSPMD (no collectives); only the
-    aggregation communicates.  Returns [N, n_classes] f32 logits
-    (node-sharded; np.asarray gathers them)."""
+    GATv2 rides the same ring with a shard-local online edge softmax
+    (edge softmax is per dst and shards are contiguous dst ranges —
+    parallel/edgeshard.py:make_ring_gat); only src features rotate.
+    Dense matmuls run on the row-sharded activations via GSPMD (no
+    collectives); only the aggregation communicates.  Returns
+    [N, n_classes] f32 logits (node-sharded; np.asarray gathers them)."""
     import numpy as np
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
     from bliss_gnn_tpu.parallel.edgeshard import (
         RingEdgeShards,
+        make_ring_gat,
         make_ring_spmm,
     )
 
     name = model_name.lower()
-    assert name in ("sage", "gcn"), (
-        "sharded layerwise inference covers SAGE/GCN; GATv2 needs the "
-        "single-device banded attention kernel"
-    )
+    assert name in ("sage", "gcn", "gat"), name
     S = mesh.shape[axis]
     shards = RingEdgeShards.build(host_graph, S)
     node_per = shards.node_per_shard
@@ -260,6 +262,34 @@ def layerwise_inference_sharded(
         return spmm_fn(e_src, e_dst, e_w, feat.astype(jnp.float32))
 
     p = jax.device_put(params["params"], repl)
+    if name == "gat":
+        assert heads is not None, "GAT sharded inference needs per-layer heads"
+        for l in range(n_layers):
+            last = l == n_layers - 1
+            first = l == 0
+            lp = p[f"gatv2_layers_{l}"]
+            W = lp["fc_src"]["kernel"].astype(dtype)
+            attn = lp["attn"]
+            HO = W.shape[1]
+            O = HO // heads[l]
+            feat = (h.astype(dtype) @ W).reshape(-1, heads[l], O)
+            gat_fn = make_ring_gat(
+                mesh, (node_per, S), heads[l], O, negative_slope, axis
+            )
+            rst = gat_fn(e_src, e_dst, e_w, feat.astype(jnp.float32), attn)
+            if residual and not first:
+                if "res_fc" in lp:
+                    res = (h.astype(dtype) @ lp["res_fc"]["kernel"].astype(dtype))
+                    res = res.reshape(-1, heads[l], O).astype(jnp.float32)
+                else:
+                    res = h.reshape(-1, heads[l], O).astype(jnp.float32)
+                rst = rst + res
+            if not last:
+                rst = jax.nn.elu(rst)
+                h = rst.reshape(rst.shape[0], -1)
+            else:
+                h = jnp.mean(rst, axis=1)
+        return h[:n_nodes]
     for l in range(n_layers):
         last = l == n_layers - 1
         lp = p[f"layers_{l}"]

@@ -279,6 +279,97 @@ def make_ring_spmm(mesh: Mesh, shards_meta: Tuple[int, int],
     return jitted
 
 
+def make_ring_gat(mesh: Mesh, shards_meta: Tuple[int, int],
+                  heads: int, odim: int, negative_slope: float,
+                  axis: str = "dp"):
+    """Ring-rotated, fully-sharded GATv2 attention aggregation.
+
+    The edge softmax is PER DST (dglnn.functional.edge_softmax,
+    reference model.py:89), and RingEdgeShards partitions edges by
+    contiguous dst ranges — so the softmax is shard-local and only the
+    SRC features ride the ring.  Per ring step the shard folds in its
+    bucket of edges whose src block is resident, maintaining a
+    flash-attention-style online softmax per (dst, head): running max m,
+    denominator d, and weighted feature sums in the running-max frame
+    (same recurrence as ops/gat_pallas.py, here in XLA inside shard_map).
+
+    (e_src_rel, e_dst_rel, e_w [S, S, Eb]; feat [S*node_per, H, O]
+    node-sharded f32) -> [S*node_per, H, O] f32 node-sharded.  ``e_w`` only
+    marks valid slots (build the shards with unit edge_vals).
+    GATv2 logit semantics mirror models/layers.py:
+    e = sum_O(leakyrelu(feat_src + feat_dst) * attn) per head.
+    """
+    from jax import shard_map
+
+    node_per, S = shards_meta
+    ckey = ("gat", mesh, node_per, S, heads, odim, negative_slope, axis)
+    cached = _RING_CACHE.get(ckey)
+    if cached is not None:
+        return cached
+    perm = [(i, (i + 1) % S) for i in range(S)]
+    NEG = -1e30
+
+    def local(e_src_rel, e_dst_rel, e_w, feat_shard, attn):
+        me = jax.lax.axis_index(axis)
+        x0 = feat_shard.astype(jnp.float32)  # [node_per, H, O]
+        f_dst = x0  # dst features are the shard's own block (dst-local)
+        a = attn.reshape(heads, odim).astype(jnp.float32)
+        m0 = jnp.full((node_per, heads), NEG, jnp.float32)
+        d0 = jnp.zeros((node_per, heads), jnp.float32)
+        acc0 = jnp.zeros((node_per, heads, odim), jnp.float32)
+
+        def fold(k, x_cur, carry):
+            m, d, acc = carry
+            b = jax.lax.rem(me - k + S, S)
+            src = jax.lax.dynamic_index_in_dim(e_src_rel[0], b, 0, False)
+            dstr = jax.lax.dynamic_index_in_dim(e_dst_rel[0], b, 0, False)
+            w = jax.lax.dynamic_index_in_dim(e_w[0], b, 0, False)
+            valid = w > 0
+            fs = jnp.take(x_cur, src, axis=0)  # [Eb, H, O]
+            fd = jnp.take(f_dst, dstr, axis=0)
+            z = fs + fd
+            z = jnp.where(z >= 0, z, negative_slope * z)
+            e = jnp.einsum("ehc,hc->eh", z, a)
+            e = jnp.where(valid[:, None], e, NEG)
+            m_b = jax.ops.segment_max(e, dstr, num_segments=node_per)
+            m_new = jnp.maximum(m, m_b)
+            # w_e and the rescale must share one max frame (gat_pallas.py)
+            w_e = jnp.where(
+                valid[:, None],
+                jnp.exp(e - jnp.take(m_new, dstr, axis=0)), 0.0,
+            )
+            scale = jnp.exp(m - m_new)
+            acc = acc * scale[:, :, None] + jax.ops.segment_sum(
+                fs * w_e[:, :, None], dstr, num_segments=node_per,
+            )
+            d = d * scale + jax.ops.segment_sum(
+                w_e, dstr, num_segments=node_per,
+            )
+            return m_new, d, acc
+
+        def body(k, state):
+            x_cur, carry = state
+            carry = fold(k, x_cur, carry)
+            x_nxt = jax.lax.ppermute(x_cur, axis, perm)
+            return (x_nxt, carry)
+
+        x_last, carry = jax.lax.fori_loop(0, S - 1, body, (x0, (m0, d0, acc0)))
+        _, d, acc = fold(S - 1, x_last, carry)
+        d = jnp.maximum(d, jnp.finfo(jnp.float32).tiny)
+        return acc / d[:, :, None]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    jitted = jax.jit(fn)
+    _RING_CACHE[ckey] = jitted
+    return jitted
+
+
 def ring_mean_aggregate(
     mesh: Mesh, shards: RingEdgeShards, x: jax.Array, in_degrees: jax.Array,
     n_nodes: int, axis: str = "dp",

@@ -833,23 +833,22 @@ class Trainer:
             [cfg.num_in_heads] * (cfg.num_layers - 1) + [cfg.num_out_heads]
         )
         graph = self.graph
-        if cfg.shard_graph and cfg.model in ("sage", "gcn"):
-            # node-sharded layerwise inference over the ring SpMM: per-device
-            # memory stays O(N/S * F + E/S), no replicated upload ever
+        if cfg.shard_graph:
+            # node-sharded layerwise inference: ring SpMM for SAGE/GCN,
+            # ring attention with shard-local online edge softmax for GATv2
+            # — per-device memory stays O(N/S * F + E/S), no replicated
+            # upload ever (parallel/edgeshard.py)
             from bliss_gnn_tpu.models.inference import (
                 layerwise_inference_sharded,
             )
 
             logits = layerwise_inference_sharded(
                 cfg.model, self.state.params, self.host_graph, self.mesh,
-                cfg.num_layers, dtype=self.dtype,
+                cfg.num_layers, dtype=self.dtype, heads=heads,
+                negative_slope=cfg.negative_slope, residual=cfg.residual,
             )
             labels = jnp.asarray(self.host_graph.ndata["labels"])
             return self._split_f1(logits, labels)
-        if cfg.shard_graph:
-            # GATv2: the banded attention kernel is single-device — one-shot
-            # replicated upload for the eval
-            graph = self.host_graph.to_device(feature_dtype=self.dtype)
         spmm = None
         gat_attn = None
         backend = cfg.inference_backend

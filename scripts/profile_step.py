@@ -149,12 +149,17 @@ samp_t = jax.jit(lambda k, s, m, g, e: jax.tree.map(
 out_t = samp_t(jax.random.PRNGKey(1), seeds, smask, graph, exp3_live)
 jax.block_until_ready(out_t)
 log("refit sample compiled")
+if os.environ.get("BLISS_PROF_TRACE_REFIT"):
+    jax.profiler.start_trace("/tmp/bliss_prof_refit_samp")
 ts = []
 for i in range(3):
     t0 = time.perf_counter()
     out_t = samp_t(jax.random.PRNGKey(i), seeds, smask, graph, exp3_live)
     float(out_t[0][0].e_weight[0])
     ts.append(time.perf_counter() - t0 - 0.033)
+if os.environ.get("BLISS_PROF_TRACE_REFIT"):
+    jax.profiler.stop_trace()
+    log("refit sample trace in /tmp/bliss_prof_refit_samp")
 log(f"refit sample_blocks: {min(ts)*1e3:.0f} ms")
 
 del exp3_live
@@ -162,12 +167,17 @@ step_t = make_train_step(graph, model, tx, cfg, tight, False)
 state, metrics = step_t(state, seeds, smask, graph)
 float(metrics["train_loss"])
 log("refit step compiled")
+if os.environ.get("BLISS_PROF_TRACE_REFIT"):
+    jax.profiler.start_trace("/tmp/bliss_prof_refit_step")
 ts = []
 for i in range(3):
     t0 = time.perf_counter()
     state, metrics = step_t(state, seeds, smask, graph)
     float(metrics["train_loss"])
     ts.append(time.perf_counter() - t0 - 0.033)
+if os.environ.get("BLISS_PROF_TRACE_REFIT"):
+    jax.profiler.stop_trace()
+    log("refit step trace in /tmp/bliss_prof_refit_step")
 ovf = {k: int(v) for k, v in metrics.items() if "overflow" in k and int(v)}
 log(f"refit full train step: {min(ts)*1e3:.0f} ms "
     f"(loss {float(metrics['train_loss']):.3f}, overflow {ovf or 'none'})")
