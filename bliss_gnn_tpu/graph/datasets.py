@@ -281,6 +281,33 @@ def _load_reddit_dgl(d: str) -> Tuple[Graph, int, bool]:
     return Graph(adj.row, adj.col, n, ndata=ndata), int(labels.max()) + 1, False
 
 
+def _npz_member_memmap(npz_path: str, member: str) -> np.ndarray:
+    """Serve one member of an .npz memory-mapped, with bounded-memory
+    extraction.
+
+    numpy IGNORES mmap_mode for .npz archives (verified: np.load(...,
+    mmap_mode='r')['member'] returns a plain in-RAM ndarray for both
+    stored and deflated members), so a direct np.load of papers100M's
+    data.npz would materialize ~150 GB.  Here the member is streamed out
+    of the zip once (shutil.copyfileobj in 16 MB chunks, bounded memory)
+    into a raw ``.npy`` sidecar next to the archive, and every load after
+    that is an O(1)-memory np.load(mmap_mode='r') of the sidecar."""
+    import shutil
+    import zipfile
+
+    sidecar = f"{npz_path}.{member}.npy"
+    if not os.path.exists(sidecar):
+        with zipfile.ZipFile(npz_path) as zf:
+            fname = f"{member}.npy"
+            if fname not in zf.namelist():
+                raise KeyError(f"{member} not in {npz_path}")
+            tmp = sidecar + ".tmp"
+            with zf.open(fname) as src, open(tmp, "wb") as dst:
+                shutil.copyfileobj(src, dst, length=1 << 24)
+            os.replace(tmp, sidecar)
+    return np.load(sidecar, mmap_mode="r")
+
+
 def _load_ogb(name: str) -> Tuple[Graph, int, bool]:
     """OGB node-prop on-disk layouts (reference: load_graph.py:32-63 via
     ogb.nodeproppred; supported names ogbn-products/arxiv/papers100M,
@@ -309,9 +336,16 @@ def _load_ogb(name: str) -> Tuple[Graph, int, bool]:
             f"set BLISS_DATA_ROOT or use load_dataset('synth-{name}')."
         )
     if os.path.exists(os.path.join(raw, "data.npz")):
-        data = np.load(os.path.join(raw, "data.npz"))
-        edges = data["edge_index"].astype(np.int64).T  # [E, 2]
-        feats = data["node_feat"].astype(np.float32)
+        # beyond-RAM layout: the papers100M node_feat member alone is
+        # ~150 GB — never np.load it eagerly.  Stream each big member out
+        # of the zip once into a raw .npy sidecar (bounded-memory
+        # decompression), then serve it memory-mapped; the UVA feature
+        # cache (graph/featurecache.py) reads rows straight off the map.
+        feats = _npz_member_memmap(os.path.join(raw, "data.npz"),
+                                   "node_feat")
+        ei = _npz_member_memmap(os.path.join(raw, "data.npz"),
+                                "edge_index")
+        edges = ei.T  # [E, 2] view, no copy
         labels_f = np.load(os.path.join(raw, "node-label.npz"))[
             "node_label"
         ].reshape(-1).astype(np.float64)

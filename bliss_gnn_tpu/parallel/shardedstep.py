@@ -71,7 +71,7 @@ class ShardedDeviceGraph:
     node-indexed is a [S, ...] stack of contiguous-range shards.
     """
 
-    csc_indptr: jax.Array  # [N+1] replicated
+    csc_indptr: jax.Array  # [N+1] replicated, or [S, npr] when shard_indptr
     csc_src_sh: jax.Array  # [S, epr] int32, zero-padded
     w_sh: jax.Array  # [S, epr] normalized edge weight, zero-padded
     features_sh: jax.Array  # [S, npr, F]
@@ -81,17 +81,24 @@ class ShardedDeviceGraph:
     epr: int = dataclasses.field(metadata=dict(static=True), default=0)
     npr: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_shards: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # shard the [N+1] indptr by the same contiguous node ranges (served
+    # through the NShard distributed gather).  ~1 MB replicated at Reddit
+    # scale (leave off); ~450 MB/device at papers100M (turn on).
+    shard_indptr: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=False)
 
     @staticmethod
     def build(
-        g: Graph, n_shards: int, feature_dtype=jnp.bfloat16
+        g: Graph, n_shards: int, feature_dtype=jnp.bfloat16,
+        shard_indptr: bool = False,
     ) -> "ShardedDeviceGraph":
         """Host-side partitioner.  Edge ranges are equal-size slices of the
         canonical (CSC) edge order — contiguous dst ranges fall out of the
         same cut, so no permutation or bucketing is needed."""
         S = n_shards
         epr = edges_per_shard(g.n_edges, S)
-        npr = round_up(g.n_nodes, S * 8) // S
+        # +1 so the indptr's final [N] entry fits inside the node shards
+        npr = round_up(g.n_nodes + 1, S * 8) // S
 
         def shard_e(a: np.ndarray, dtype) -> np.ndarray:
             out = np.zeros((S * epr,) + a.shape[1:], dtype)
@@ -103,10 +110,13 @@ class ShardedDeviceGraph:
             out[: a.shape[0]] = a
             return out.reshape((S, npr) + a.shape[1:])
 
+        indptr = np.asarray(g.csc_indptr, np.int32)
         feats = np.asarray(g.ndata["features"])
         labels = np.asarray(g.ndata["labels"])
         return ShardedDeviceGraph(
-            csc_indptr=jnp.asarray(g.csc_indptr, jnp.int32),
+            csc_indptr=jnp.asarray(
+                shard_n(indptr, np.int32) if shard_indptr else indptr
+            ),
             csc_src_sh=jnp.asarray(shard_e(g.csc_src, np.int32)),
             w_sh=jnp.asarray(shard_e(
                 np.asarray(g.edata["w"], np.float32), np.float32
@@ -114,14 +124,14 @@ class ShardedDeviceGraph:
             features_sh=jnp.asarray(shard_n(feats, feats.dtype), feature_dtype),
             labels_sh=jnp.asarray(shard_n(labels, labels.dtype)),
             n_nodes=g.n_nodes, n_edges=g.n_edges,
-            epr=epr, npr=npr, n_shards=S,
+            epr=epr, npr=npr, n_shards=S, shard_indptr=shard_indptr,
         )
 
     def specs(self, axis: str) -> "ShardedDeviceGraph":
         """The shard_map in/out spec pytree for this graph."""
         return dataclasses.replace(
             self,
-            csc_indptr=P(),
+            csc_indptr=P(axis) if self.shard_indptr else P(),
             csc_src_sh=P(axis), w_sh=P(axis),
             features_sh=P(axis), labels_sh=P(axis),
         )
@@ -134,7 +144,12 @@ class _LocalView:
     frontier_gather transparently serves them over the mesh."""
 
     def __init__(self, sg: ShardedDeviceGraph, axis: str):
-        self.csc_indptr = sg.csc_indptr
+        if sg.shard_indptr:
+            from bliss_gnn_tpu.parallel.shards import NShard
+
+            self.csc_indptr = NShard(sg.csc_indptr[0], axis=axis, npr=sg.npr)
+        else:
+            self.csc_indptr = sg.csc_indptr
         self.csc_src = EShard(sg.csc_src_sh[0], axis=axis, epr=sg.epr)
         self.edata = {"w": EShard(sg.w_sh[0], axis=axis, epr=sg.epr)}
         self.features_local = sg.features_sh[0]

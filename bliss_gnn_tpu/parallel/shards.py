@@ -88,6 +88,23 @@ class EShard:
         return out.reshape(-1)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NShard:
+    """One device's contiguous slice of a node-indexed 1-D array — the
+    node-granular sibling of :class:`EShard`, used to shard the [N+1]
+    ``csc_indptr`` at papers100M scale (~450 MB/device replicated;
+    O(N/S) sharded).  ``take1d`` makes it a drop-in for ``jnp.take`` via
+    the dispatch in sampling/frontier.py:ptr_take."""
+
+    data: jax.Array  # [npr]
+    axis: str = dataclasses.field(metadata=dict(static=True), default="dp")
+    npr: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    def take1d(self, idx: jax.Array) -> jax.Array:
+        return sharded_node_rows(self.data, idx, self.axis, self.npr)
+
+
 def sharded_node_rows(
     local: jax.Array, gids: jax.Array, axis: str, npr: int
 ) -> jax.Array:

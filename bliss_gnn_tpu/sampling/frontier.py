@@ -53,6 +53,17 @@ class Frontier(NamedTuple):
         return self.eid.shape[0] // self.chunk_gidx.shape[0]
 
 
+def ptr_take(ptr: jax.Array, idx: jax.Array) -> jax.Array:
+    """``ptr[idx]`` where ``ptr`` is either a replicated array or a
+    node-sharded handle (parallel/shards.py NShard — one device's
+    contiguous slice of ``csc_indptr``, served via the distributed row
+    gather).  Every sampler read of csc_indptr routes through here so the
+    [N+1] indptr (~450 MB at papers100M) need not be replicated."""
+    if hasattr(ptr, "take1d"):
+        return ptr.take1d(idx)
+    return jnp.take(ptr, idx)
+
+
 def frontier_gather(frontier: Frontier, data: jax.Array) -> jax.Array:
     """Gather data[eid] for every frontier slot, as a row gather of the
     grid-aligned chunks: data viewed as [E/ck, ck], one take per chunk.
@@ -144,8 +155,10 @@ def gather_in_edges(
     # of ck, which CapacityPlan's 128-alignment guarantees in production)
     e_cap = n_chunk_cap * ck
     safe_seeds = jnp.where(seeds_mask, seeds, 0)
-    row_start = jnp.take(csc_indptr, safe_seeds).astype(jnp.int32)
-    row_end = jnp.take(csc_indptr, safe_seeds + 1).astype(jnp.int32)
+    bounds = ptr_take(
+        csc_indptr, jnp.concatenate([safe_seeds, safe_seeds + 1])
+    ).astype(jnp.int32)
+    row_start, row_end = bounds[:n_seeds], bounds[n_seeds:]
     deg = jnp.where(seeds_mask, row_end - row_start, 0)
     row_end = jnp.where(seeds_mask, row_end, row_start)
     g_start = row_start // ck

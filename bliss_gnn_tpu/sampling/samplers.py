@@ -48,6 +48,7 @@ from bliss_gnn_tpu.sampling.frontier import (
     frontier_seed_broadcast,
     frontier_segment_sum,
     gather_in_edges,
+    ptr_take,
 )
 
 LADIES_FAMILY = ("ladies", "poisson-ladies", "bandit", "poisson-bandit")
@@ -161,10 +162,11 @@ def _exp3_edge_prob(
     denom = frontier_seed_broadcast(frontier, sum_dst)
     w_hat = jnp.where(denom > 0, ew / jnp.where(denom > 0, denom, 1.0), 0.0)
     safe_seeds = jnp.where(seeds >= 0, seeds, 0)
-    n_i_seed = (
-        jnp.take(graph.csc_indptr, safe_seeds + 1)
-        - jnp.take(graph.csc_indptr, safe_seeds)
-    ).astype(jnp.float32)
+    n = safe_seeds.shape[0]
+    bounds = ptr_take(
+        graph.csc_indptr, jnp.concatenate([safe_seeds + 1, safe_seeds])
+    )
+    n_i_seed = (bounds[:n] - bounds[n:]).astype(jnp.float32)
     n_i = frontier_seed_broadcast(frontier, n_i_seed)
     q = (1.0 - eta) * w_hat + eta / jnp.maximum(n_i, 1.0)
     return jnp.where(frontier.e_mask, q, 0.0)
@@ -683,10 +685,11 @@ def _rewards_and_delta(
 
     k_i = block.in_degrees().astype(jnp.float32)  # [n_dst_cap], kept degree
     safe_dst = jnp.where(block.dst_mask, block.dst_gids, 0)
-    n_i_seed = (
-        jnp.take(graph.csc_indptr, safe_dst + 1)
-        - jnp.take(graph.csc_indptr, safe_dst)
-    ).astype(jnp.float32)
+    nd = safe_dst.shape[0]
+    bounds = ptr_take(
+        graph.csc_indptr, jnp.concatenate([safe_dst + 1, safe_dst])
+    )
+    n_i_seed = (bounds[:nd] - bounds[nd:]).astype(jnp.float32)
     if cfg.exp3_delta_formula:
         # paper delta (bandit_sampler.py:226-229, commented out upstream)
         k_seed = jnp.maximum(k_i, 1.0)

@@ -131,6 +131,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "over the dp mesh (O(E/S + N/S) per device — graphs "
                         "beyond one HBM; parallel/shardedstep.py).  Requires "
                         "--dp N with N != 1")
+    p.add_argument("--shard-indptr", type=int, choices=(0, 1), default=None,
+                   help="also shard the [N+1] csc_indptr by node range "
+                        "(default: auto — on for graphs over 32M nodes "
+                        "under --shard-graph; ~450 MB/device replicated at "
+                        "papers100M)")
     return p
 
 
@@ -187,6 +192,8 @@ def config_from_args(args) -> "TrainConfig":
         steps_per_call=args.steps_per_call,
         dp=args.dp,
         shard_graph=args.shard_graph,
+        shard_indptr=(None if args.shard_indptr is None
+                      else bool(args.shard_indptr)),
         compute_dtype="float32" if args.precision == "highest" else "bfloat16",
     )
 

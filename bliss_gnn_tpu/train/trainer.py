@@ -145,6 +145,10 @@ class TrainConfig:
     # training is numerically equivalent to the replicated-DP path (tested);
     # requires dp != 1.
     shard_graph: bool = False
+    # also shard the [N+1] csc_indptr by the same node ranges (served via
+    # the NShard distributed gather) — ~450 MB/device replicated at
+    # papers100M.  Auto: on for graphs over ~32M nodes under --shard-graph.
+    shard_indptr: Optional[bool] = None
 
     @property
     def run_name(self) -> str:
@@ -266,8 +270,13 @@ class Trainer:
             # parallel/edgeshard.py for sharded inference).
             from bliss_gnn_tpu.parallel.shardedstep import ShardedDeviceGraph
 
+            shard_indptr = (
+                cfg.shard_indptr if cfg.shard_indptr is not None
+                else graph.n_nodes > 32_000_000
+            )
             self.sharded_graph = ShardedDeviceGraph.build(
-                graph, self.dp, feature_dtype=dtype
+                graph, self.dp, feature_dtype=dtype,
+                shard_indptr=shard_indptr,
             )
             self.graph = _device_graph_struct(graph, dtype)
         else:

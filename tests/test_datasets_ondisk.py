@@ -204,6 +204,16 @@ def test_ogb_papers100m_binary_layout(data_root):
     assert (g.ndata["labels"][5:] == -1).all()  # NaN -> -1, no UB cast
     assert g.ndata["train_mask"].sum() == 2
     assert g.ndata["val_mask"].sum() == 1
+    # features are served MEMORY-MAPPED (numpy ignores mmap_mode for npz,
+    # so a raw .npy sidecar is streamed out once — a 150 GB data.npz must
+    # never be np.load'ed eagerly), and a second load reuses the sidecar
+    assert isinstance(g.ndata["features"], np.memmap)
+    assert os.path.exists(raw / "data.npz.node_feat.npy")
+    g2, _, _ = ds.load_dataset("ogbn-papers100M")
+    assert isinstance(g2.ndata["features"], np.memmap)
+    np.testing.assert_array_equal(
+        np.asarray(g2.ndata["features"]), np.asarray(g.ndata["features"])
+    )
 
 
 def test_parity_checksum_harness(data_root, monkeypatch, capsys):

@@ -64,13 +64,17 @@ def _setup(local_batch=4, kind="poisson-bandit", n_layers=2):
     return g, dg, cfg, plan, model, tx, mk_state, exp3, ml
 
 
-def test_sharded_step_matches_replicated_dp():
+@pytest.mark.parametrize("shard_indptr", [False, True])
+def test_sharded_step_matches_replicated_dp(shard_indptr):
     """3 chained steps: params, metrics, and the (unsharded) EXP3 state all
-    match the replicated DP step bit-for-bit-modulo-rounding."""
+    match the replicated DP step bit-for-bit-modulo-rounding — with the
+    [N+1] csc_indptr either replicated or node-range sharded (NShard)."""
     n_dev = 8
     mesh = make_mesh(n_dev)
     g, dg, cfg, plan, model, tx, mk_state, exp3, ml = _setup()
-    sg = ShardedDeviceGraph.build(g, n_dev)
+    sg = ShardedDeviceGraph.build(g, n_dev, shard_indptr=shard_indptr)
+    if shard_indptr:
+        assert sg.csc_indptr.shape == (n_dev, sg.npr)  # O(N/S)/device
 
     dp_step = make_dp_train_step(mesh, dg, model, tx, cfg, plan, ml,
                                  exp3_normalize=False)
