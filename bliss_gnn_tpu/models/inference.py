@@ -14,6 +14,7 @@ test); weights are consumed straight from the trained flax params pytree.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -317,6 +318,173 @@ def layerwise_inference_sharded(
         if not last:
             h = jax.nn.relu(h)
     return h[:n_nodes]
+
+
+def layerwise_inference_uva(
+    model_name: str,
+    params,
+    host_graph,
+    n_layers: int,
+    heads: Optional[tuple] = None,
+    negative_slope: float = 0.2,
+    residual: bool = False,
+    dtype=jnp.bfloat16,
+    node_batch: int = 1 << 15,
+    features=None,
+) -> "np.ndarray":
+    """Bounded-device-memory layerwise inference with HOST-resident
+    activations — the single-chip UVA final eval (the reference streams
+    node minibatches of 128 through a full-neighbor DataLoader with
+    use_uva, model.py:351-362 / train_lightning.py:688-694; here the
+    chunk is ``node_batch`` dst nodes).
+
+    Per layer, per dst chunk: slice the chunk's CSC in-edges on host,
+    fetch exactly the referenced src activation rows (np.unique working
+    set), aggregate + apply the layer on device, write the chunk's output
+    activations back to host.  Device memory is O(node_batch + working
+    set); the full [N, F] never touches HBM.  Shapes are padded to
+    per-layer maxima so every chunk reuses one compiled program.
+    Returns [N, n_classes] f32 logits as a host array."""
+    import numpy as np
+
+    name = model_name.lower()
+    p = params["params"]
+    indptr = np.asarray(host_graph.csc_indptr)
+    csc_src = np.asarray(host_graph.csc_src)[: host_graph.n_edges]
+    n = host_graph.n_nodes
+    in_deg = np.maximum(np.diff(indptr), 1).astype(np.float32)
+    out_deg = np.maximum(
+        np.asarray(host_graph.out_degrees()), 1
+    ).astype(np.float32)
+    h = features if features is not None else host_graph.ndata["features"]
+    chunks = [(c0, min(n, c0 + node_batch)) for c0 in
+              range(0, n, node_batch)]
+    # static pad sizes shared by every chunk of a layer
+    e_max = int(max(indptr[c1] - indptr[c0] for c0, c1 in chunks))
+    u_max = 0
+    uniq_cache = []
+    for c0, c1 in chunks:
+        src = csc_src[indptr[c0]:indptr[c1]]
+        uniq, inv = np.unique(src, return_inverse=True)
+        uniq_cache.append((uniq, inv.astype(np.int32)))
+        u_max = max(u_max, len(uniq))
+    u_max = max(u_max, 1)
+
+    @partial(jax.jit, static_argnames=("kind", "nh"))
+    def chunk_fn(lp, x_u, e_src, e_dst, e_mask, idg, odg_u, h_self,
+                 kind: str, nh: int):
+        n_dst = h_self.shape[0]
+        if kind == "sage":
+            Wn = lp["fc_neigh"]["kernel"].astype(dtype)
+            Ws = lp["fc_self"]["kernel"].astype(dtype)
+            b = lp["bias"].astype(jnp.float32)
+            lin_before = x_u.shape[1] > Wn.shape[1]
+            src_val = (x_u.astype(dtype) @ Wn) if lin_before \
+                else x_u.astype(dtype)
+            msg = jnp.take(src_val, e_src, axis=0)
+            msg = jnp.where(e_mask[:, None], msg, 0)
+            agg = jax.ops.segment_sum(
+                msg.astype(jnp.float32), e_dst, num_segments=n_dst
+            ) / idg[:, None]
+            h_neigh = agg if lin_before else agg.astype(dtype) @ Wn
+            return (h_self.astype(dtype) @ Ws).astype(jnp.float32) \
+                + h_neigh + b
+        if kind == "gcn":
+            W = lp["weight"]["kernel"].astype(dtype)
+            b = lp["weight"]["bias"].astype(jnp.float32)
+            feat = x_u.astype(dtype) * jax.lax.rsqrt(odg_u)[:, None].astype(dtype)
+            if x_u.shape[1] > W.shape[1]:
+                feat = feat @ W
+            msg = jnp.take(feat, e_src, axis=0)
+            msg = jnp.where(e_mask[:, None], msg, 0)
+            agg = jax.ops.segment_sum(
+                msg.astype(jnp.float32), e_dst, num_segments=n_dst
+            )
+            if x_u.shape[1] <= W.shape[1]:
+                agg = (agg.astype(dtype) @ W).astype(jnp.float32)
+            return agg * jax.lax.rsqrt(idg)[:, None] + b
+        # gat: chunk-local edge softmax (every in-edge of a dst is in its
+        # chunk by construction)
+        W = lp["fc_src"]["kernel"].astype(dtype)
+        attn = lp["attn"].reshape(nh, -1).astype(jnp.float32)
+        O = W.shape[1] // nh
+        fs = (x_u.astype(dtype) @ W).reshape(-1, nh, O).astype(jnp.float32)
+        fd = (h_self.astype(dtype) @ W).reshape(-1, nh, O).astype(jnp.float32)
+        z = jnp.take(fs, e_src, axis=0) + jnp.take(fd, e_dst, axis=0)
+        z = jnp.where(z >= 0, z, negative_slope * z)
+        e = jnp.einsum("ehc,hc->eh", z, attn)
+        e = jnp.where(e_mask[:, None], e, -1e30)
+        m = jax.ops.segment_max(e, e_dst, num_segments=n_dst)
+        w_e = jnp.where(
+            e_mask[:, None], jnp.exp(e - jnp.take(m, e_dst, axis=0)), 0.0
+        )
+        num = jax.ops.segment_sum(
+            jnp.take(fs, e_src, axis=0) * w_e[:, :, None], e_dst,
+            num_segments=n_dst,
+        )
+        den = jax.ops.segment_sum(w_e, e_dst, num_segments=n_dst)
+        rst = num / jnp.maximum(den, jnp.finfo(jnp.float32).tiny)[:, :, None]
+        return rst  # [n_dst, H, O]
+
+    for l in range(n_layers):
+        last = l == n_layers - 1
+        if name == "gat":
+            lp = p[f"gatv2_layers_{l}"]
+            nh = heads[l]
+            O = lp["fc_src"]["kernel"].shape[1] // nh
+            out_w = O * nh if not last else O
+        else:
+            lp = p[f"layers_{l}"]
+            key = "fc_neigh" if name == "sage" else "weight"
+            out_w = lp[key]["kernel"].shape[1]
+            nh = 0
+        out = np.zeros((n, out_w), np.float32)
+        for (c0, c1), (uniq, inv) in zip(chunks, uniq_cache):
+            e_cnt = len(inv)
+            dst = np.repeat(
+                np.arange(c1 - c0, dtype=np.int32),
+                np.diff(indptr[c0:c1 + 1]).astype(np.int64),
+            )
+            x_u = np.zeros((u_max, h.shape[1]), np.float32)
+            x_u[: len(uniq)] = h[uniq]
+            e_src = np.zeros(e_max, np.int32)
+            e_src[:e_cnt] = inv
+            e_dst = np.zeros(e_max, np.int32)
+            e_dst[:e_cnt] = dst
+            e_mask = np.zeros(e_max, bool)
+            e_mask[:e_cnt] = True
+            res = chunk_fn(
+                lp, jnp.asarray(x_u), jnp.asarray(e_src),
+                jnp.asarray(e_dst), jnp.asarray(e_mask),
+                jnp.asarray(in_deg[c0:c1]),
+                jnp.asarray(np.pad(out_deg[uniq],
+                                   (0, u_max - len(uniq)),
+                                   constant_values=1.0)),
+                jnp.asarray(np.asarray(h[c0:c1], np.float32)),
+                kind=name, nh=nh,
+            )
+            res = np.asarray(res)
+            if name == "gat":
+                first = l == 0
+                if residual and not first:
+                    lp_l = p[f"gatv2_layers_{l}"]
+                    h_chunk = np.asarray(h[c0:c1], np.float32)
+                    if "res_fc" in lp_l:
+                        rker = np.asarray(lp_l["res_fc"]["kernel"],
+                                          np.float32)
+                        res = res + (h_chunk @ rker).reshape(res.shape)
+                    else:
+                        res = res + h_chunk.reshape(res.shape)
+                if not last:
+                    res = np.where(res > 0, res, np.expm1(res))  # elu
+                    res = res.reshape(res.shape[0], -1)
+                else:
+                    res = res.mean(axis=1)
+            elif not last:
+                res = np.maximum(res, 0.0)  # relu
+            out[c0:c1] = res
+        h = out
+    return h
 
 
 def make_hybrid_spmm(graph: DeviceGraph, dense_t: int = 300,

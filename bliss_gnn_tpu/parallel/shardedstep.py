@@ -90,7 +90,7 @@ class ShardedDeviceGraph:
     @staticmethod
     def build(
         g: Graph, n_shards: int, feature_dtype=jnp.bfloat16,
-        shard_indptr: bool = False,
+        shard_indptr: bool = False, include_features: bool = True,
     ) -> "ShardedDeviceGraph":
         """Host-side partitioner.  Edge ranges are equal-size slices of the
         canonical (CSC) edge order — contiguous dst ranges fall out of the
@@ -111,8 +111,17 @@ class ShardedDeviceGraph:
             return out.reshape((S, npr) + a.shape[1:])
 
         indptr = np.asarray(g.csc_indptr, np.int32)
-        feats = np.asarray(g.ndata["features"])
         labels = np.asarray(g.ndata["labels"])
+        if include_features:
+            feats = np.asarray(g.ndata["features"])
+            features_sh = jnp.asarray(
+                shard_n(feats, feats.dtype), feature_dtype
+            )
+        else:
+            # graph sharding x UVA: features stay host-resident (served by
+            # graph/featurecache.py through the split UVA steps); the
+            # device shards carry a [S, 1, 1] placeholder
+            features_sh = jnp.zeros((S, 1, 1), feature_dtype)
         return ShardedDeviceGraph(
             csc_indptr=jnp.asarray(
                 shard_n(indptr, np.int32) if shard_indptr else indptr
@@ -121,7 +130,7 @@ class ShardedDeviceGraph:
             w_sh=jnp.asarray(shard_e(
                 np.asarray(g.edata["w"], np.float32), np.float32
             )),
-            features_sh=jnp.asarray(shard_n(feats, feats.dtype), feature_dtype),
+            features_sh=features_sh,
             labels_sh=jnp.asarray(shard_n(labels, labels.dtype)),
             n_nodes=g.n_nodes, n_edges=g.n_edges,
             epr=epr, npr=npr, n_shards=S, shard_indptr=shard_indptr,

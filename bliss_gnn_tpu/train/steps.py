@@ -326,6 +326,9 @@ def make_uva_steps(
     sampler_cfg: SamplerConfig,
     plan: CapacityPlan,
     multilabel: bool,
+    mesh=None,
+    axis: str = "dp",
+    storage: Optional[StepStorage] = None,
 ):
     """Split steps for host-resident features (the UVA/gpu_cache analog,
     train_lightning.py:376-380,:394 — see graph/featurecache.py).
@@ -338,19 +341,40 @@ def make_uva_steps(
 
     Returns (sample_fn, train_fn, eval_fn).  Sampling still runs fully
     on device; only the feature rows cross the host boundary.
-    """
 
-    def sample_fn(state: TrainState, seeds, seeds_mask, graph: DeviceGraph):
+    With ``mesh`` the three functions run under shard_map over ``axis``:
+    each device samples its seed shard (device-folded keys), blocks come
+    back mesh-STACKED (leading dim = shard) for the host feature gather,
+    and train_fn applies the usual DP reductions (pmean'd grads,
+    all-gathered sparse EXP3 deltas, psum'd metrics — same contract as
+    parallel.dp.make_dp_train_step).  ``storage`` may supply sharded label
+    residency (graph sharding × UVA: parallel/shardedstep.py).
+    """
+    dp_axis = axis if mesh is not None else None
+    storage = storage or _DEFAULT_STORAGE
+
+    def sample_fn(state: TrainState, seeds, seeds_mask, graph):
         key, k_sample, k_drop = jax.random.split(state.key, 3)
+        if dp_axis is not None:
+            k_sample = jax.random.fold_in(
+                k_sample, jax.lax.axis_index(dp_axis)
+            )
         blocks, samp_stats = sample_blocks(
             graph, sampler_cfg, plan, k_sample, seeds, seeds_mask,
-            state.exp3_weights,
+            storage.exp3_view(state.exp3_weights),
         )
+        if dp_axis is not None:
+            for k in list(samp_stats):
+                if "frontier_edges" in k or "n_block_edges_true" in k:
+                    samp_stats[k] = jax.lax.pmax(samp_stats[k], dp_axis)
+                else:
+                    samp_stats[k] = jax.lax.psum(samp_stats[k], dp_axis)
         return blocks, samp_stats, k_drop, key
 
-    def train_fn(state: TrainState, blocks, x, k_drop, key,
-                 graph: DeviceGraph):
-        labels = jnp.take(graph.ndata["labels"], blocks[-1].dst_gids, axis=0)
+    def train_fn(state: TrainState, blocks, x, k_drop, key, graph):
+        if dp_axis is not None:
+            k_drop = jax.random.fold_in(k_drop, jax.lax.axis_index(dp_axis))
+        labels = storage.node_rows(graph, "labels", blocks[-1].dst_gids)
         dst_mask = blocks[-1].dst_mask
 
         def loss_fn(params):
@@ -364,16 +388,20 @@ def make_uva_steps(
         (loss, (logits, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if dp_axis is not None:
+            grads = jax.lax.pmean(grads, dp_axis)
+            loss = jax.lax.pmean(loss, dp_axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if sampler_cfg.is_bandit:
             # normalize=False: consumers renormalize per dst, so the L1 row
             # normalization is deferred to the Trainer's periodic
             # renormalize (exp3_renorm_every) — see apply_exp3_deltas
-            exp3 = exp3_update(
-                graph, sampler_cfg, state.exp3_weights, blocks,
-                aux["embed_norms"], aux["a_ijs"], normalize=False,
+            deltas = exp3_edge_deltas(
+                graph, sampler_cfg, blocks, aux["embed_norms"], aux["a_ijs"]
             )
+            deltas = storage.sync_deltas(deltas, dp_axis)
+            exp3 = storage.apply_deltas(state.exp3_weights, deltas, False)
         else:
             exp3 = state.exp3_weights
         f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)
@@ -382,26 +410,83 @@ def make_uva_steps(
             "f1": f1,
             **_block_count_metrics(blocks),
         }
+        if dp_axis is not None:
+            for k in list(metrics):
+                if k != "train_loss":
+                    metrics[k] = jax.tree.map(
+                        lambda v: jax.lax.psum(v, dp_axis), metrics[k]
+                    )
         new_state = TrainState(
             params=params, opt_state=opt_state, exp3_weights=exp3,
             key=key, step=state.step + 1,
         )
         return new_state, metrics
 
-    def eval_fn(state: TrainState, blocks, x, graph: DeviceGraph):
-        labels = jnp.take(graph.ndata["labels"], blocks[-1].dst_gids, axis=0)
+    def eval_fn(state: TrainState, blocks, x, graph):
+        labels = storage.node_rows(graph, "labels", blocks[-1].dst_gids)
         dst_mask = blocks[-1].dst_mask
         logits, _ = model.apply(state.params, blocks, x, deterministic=True)
         loss = cross_entropy_loss(logits, labels, dst_mask, multilabel)
         f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)
         n = jnp.sum(dst_mask)
-        return f1, loss * n, n
+        out = (f1, loss * n, n)
+        if dp_axis is not None:
+            out = jax.tree.map(lambda v: jax.lax.psum(v, dp_axis), out)
+        return out
 
-    return (
-        jax.jit(sample_fn),
-        jax.jit(train_fn, donate_argnums=(0,)),
-        jax.jit(eval_fn),
-    )
+    if mesh is None:
+        return (
+            jax.jit(sample_fn),
+            jax.jit(train_fn, donate_argnums=(0,)),
+            jax.jit(eval_fn),
+        )
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if type(storage) is StepStorage:  # replicated DeviceGraph under DP
+        graph_spec = P()
+        state_spec = P()
+
+        def view(g):
+            return g
+    else:  # graph sharding x UVA (parallel/shardedstep.py ShardedStorage)
+        from bliss_gnn_tpu.parallel.shardedstep import (
+            _LocalView,
+            _state_spec,
+        )
+
+        graph_spec = "sharded"  # resolved per sgraph arg below
+        state_spec = _state_spec(axis, sampler_cfg.is_bandit)
+
+        def view(sg):
+            return _LocalView(sg, axis)
+
+    def wrap(fn, in_specs, out_specs, donate=False):
+        def body(*args):
+            *rest, g = args
+            return fn(*rest, view(g))
+
+        def dispatch(*args):
+            gs = (args[-1].specs(axis) if graph_spec == "sharded"
+                  else graph_spec)
+            m = shard_map(
+                body, mesh=mesh, in_specs=(*in_specs, gs),
+                out_specs=out_specs, check_vma=False,
+            )
+            return m(*args)
+
+        return jax.jit(dispatch, donate_argnums=(0,) if donate else ())
+
+    blocks_spec = P(axis)  # every Block leaf gains a leading shard dim
+    s_fn = wrap(sample_fn, (state_spec, P(axis), P(axis)),
+                (blocks_spec, P(), P(), P()))
+    t_fn = wrap(train_fn,
+                (state_spec, blocks_spec, P(axis), P(), P()),
+                (state_spec, P()), donate=True)
+    e_fn = wrap(eval_fn, (state_spec, blocks_spec, P(axis)),
+                (P(), P(), P()))
+    return s_fn, t_fn, e_fn
 
 
 def make_optimizer(

@@ -215,24 +215,12 @@ class Trainer:
                     f"devices"
                 )
             if n_dev > 1:
-                if cfg.use_uva:
-                    raise NotImplementedError(
-                        "--use-uva (host-resident features) is single-device "
-                        "for now; under dp the feature cache would need a "
-                        "per-shard host gather"
-                    )
                 self.mesh = make_mesh(n_dev)
                 self.dp = n_dev
         if cfg.shard_graph and self.dp <= 1:
             raise ValueError(
                 "--shard-graph partitions the graph over the dp mesh; "
                 "it requires --dp N with N > 1 (or 0 = all devices)"
-            )
-        if cfg.shard_graph and cfg.use_uva:
-            raise NotImplementedError(
-                "--use-uva with --shard-graph is not wired yet: the sharded "
-                "step serves features from device shards, the UVA cache "
-                "from host RAM — pick one residency"
             )
         if graph is None:
             graph, n_classes, multilabel = load_dataset(cfg.dataset)
@@ -249,18 +237,37 @@ class Trainer:
         self.multi_step = None
         self.sharded_graph = None
         if cfg.use_uva:
-            # features stay host-resident; the device sees everything else
+            # features stay host-resident (numpy array or memmap); the
+            # device sees everything else.  Composes with --dp (each device
+            # samples its seed shard, one host gather serves the stacked
+            # blocks) and --shard-graph (labels/graph stay range-sharded,
+            # features host-resident — the papers100M configuration).
             from bliss_gnn_tpu.graph.featurecache import FeatureCache
 
-            host_feat = np.asarray(graph.ndata["features"])
-            ndata_rest = {
-                k: v for k, v in graph.ndata.items() if k != "features"
-            }
-            ndata_all, graph.ndata = graph.ndata, ndata_rest
-            self.graph = graph.to_device(feature_dtype=dtype)
-            graph.ndata = ndata_all
+            host_feat = graph.ndata["features"]  # keep memmaps unmaterialized
             cap = cfg.cache_size or min(graph.n_nodes, 1 << 21)
             self.feature_cache = FeatureCache(host_feat, cap, dtype=dtype)
+            if cfg.shard_graph:
+                from bliss_gnn_tpu.parallel.shardedstep import (
+                    ShardedDeviceGraph,
+                )
+
+                shard_indptr = (
+                    cfg.shard_indptr if cfg.shard_indptr is not None
+                    else graph.n_nodes > 32_000_000
+                )
+                self.sharded_graph = ShardedDeviceGraph.build(
+                    graph, self.dp, feature_dtype=dtype,
+                    shard_indptr=shard_indptr, include_features=False,
+                )
+                self.graph = _device_graph_struct(graph, dtype)
+            else:
+                ndata_rest = {
+                    k: v for k, v in graph.ndata.items() if k != "features"
+                }
+                ndata_all, graph.ndata = graph.ndata, ndata_rest
+                self.graph = graph.to_device(feature_dtype=dtype)
+                graph.ndata = ndata_all
         elif cfg.shard_graph:
             # edge-partitioned residency: no replicated device copy is ever
             # uploaded — each device holds its contiguous edge/node range
@@ -414,10 +421,20 @@ class Trainer:
         if self.feature_cache is not None:
             from bliss_gnn_tpu.train.steps import make_uva_steps
 
+            storage = None
+            if cfg.shard_graph:
+                from bliss_gnn_tpu.parallel.shardedstep import ShardedStorage
+
+                storage = ShardedStorage(
+                    "dp", self.sharded_graph.epr, self.sharded_graph.npr,
+                    self.sampler_cfg.n_layers,
+                )
             self._sample_fn, self._uva_train_fn, self._uva_eval_fn = (
                 make_uva_steps(
                     self.model, self.tx, self.sampler_cfg, self.plan,
                     self.multilabel,
+                    mesh=self.mesh if self.dp > 1 else None,
+                    storage=storage,
                 )
             )
             self.train_step = self._uva_train_step
@@ -488,29 +505,38 @@ class Trainer:
                 )
 
     # -- UVA (host-feature) step wrappers --------------------------------
+    def _uva_gather(self, blocks):
+        """Host feature fetch for the input block's src table.  Under dp
+        the blocks are mesh-stacked [S, ...]; one flattened cache gather
+        serves every shard (a real pod would run one cache per host)."""
+        gids, mask = blocks[0].src_gids, blocks[0].src_mask
+        if gids.ndim > 1:
+            x, miss = self.feature_cache.gather(
+                gids.reshape(-1), mask.reshape(-1)
+            )
+            return x.reshape(gids.shape + (x.shape[-1],)), miss
+        return self.feature_cache.gather(gids, mask)
+
     def _uva_train_step(self, state, seeds, smask, graph):
         blocks, samp_stats, k_drop, key = self._sample_fn(
             state, seeds, smask, graph
         )
-        x, miss = self.feature_cache.gather(
-            blocks[0].src_gids, blocks[0].src_mask
-        )
+        x, miss = self._uva_gather(blocks)
         state, metrics = self._uva_train_fn(
             state, blocks, x, k_drop, key, graph
         )
         metrics = dict(metrics)
         metrics["cache_miss"] = miss  # train_lightning.py:454-461
         for k, v in samp_stats.items():
-            if "overflow" in k:
-                metrics[k] = v
+            if ("overflow" in k or "frontier_edges" in k
+                    or "n_block_edges_true" in k):
+                metrics[k] = v  # overflow counters + capacity-refit maxima
         return state, metrics
 
     def _uva_eval_step(self, state, key, seeds, smask, graph):
         state_k = dataclasses.replace(state, key=key)
         blocks, _, _, _ = self._sample_fn(state_k, seeds, smask, graph)
-        x, _ = self.feature_cache.gather(
-            blocks[0].src_gids, blocks[0].src_mask
-        )
+        x, _ = self._uva_gather(blocks)
         return self._uva_eval_fn(state, blocks, x, graph)
 
     def _init_params(self, key):
@@ -858,6 +884,35 @@ class Trainer:
             )
             labels = jnp.asarray(self.host_graph.ndata["labels"])
             return self._split_f1(logits, labels)
+        if self.feature_cache is not None:
+            # UVA: never upload the full feature matrix.  dp > 1 runs the
+            # node-sharded ring inference straight off the host features;
+            # single-device streams dst chunks with host-resident
+            # activations (the reference's UVA DataLoader inference,
+            # model.py:351-362 / train_lightning.py:688-694).
+            from bliss_gnn_tpu.models.inference import (
+                layerwise_inference_sharded,
+                layerwise_inference_uva,
+            )
+
+            if self.dp > 1:
+                logits = layerwise_inference_sharded(
+                    cfg.model, self.state.params, self.host_graph,
+                    self.mesh, cfg.num_layers, dtype=self.dtype,
+                    heads=heads, negative_slope=cfg.negative_slope,
+                    residual=cfg.residual,
+                    features=self.feature_cache.host,
+                )
+            else:
+                logits = layerwise_inference_uva(
+                    cfg.model, self.state.params, self.host_graph,
+                    cfg.num_layers, heads=heads,
+                    negative_slope=cfg.negative_slope,
+                    residual=cfg.residual, dtype=self.dtype,
+                    features=self.feature_cache.host,
+                )
+            labels = jnp.asarray(self.host_graph.ndata["labels"])
+            return self._split_f1(jnp.asarray(logits), labels)
         spmm = None
         gat_attn = None
         backend = cfg.inference_backend
@@ -930,19 +985,6 @@ class Trainer:
             from bliss_gnn_tpu.models.inference import make_pallas_gat
 
             gat_attn = make_pallas_gat(graph)
-        if self.feature_cache is not None:
-            # full-graph inference needs the whole feature matrix; upload it
-            # for the eval (callers at true out-of-HBM scale should eval on
-            # a CPU mesh or shard the inference — see parallel/edgeshard.py)
-            graph = dataclasses.replace(
-                graph,
-                ndata={
-                    **graph.ndata,
-                    "features": jnp.asarray(
-                        self.feature_cache.host, self.dtype
-                    ),
-                },
-            )
         logits = layerwise_inference(
             cfg.model, self.state.params, graph, cfg.num_layers,
             heads=heads, negative_slope=cfg.negative_slope,

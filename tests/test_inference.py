@@ -125,3 +125,31 @@ def test_dual_spmm_routing(monkeypatch):
     spmm(jnp.zeros((4, 602)))
     spmm(jnp.zeros((4, 256)))
     assert calls == [("hybrid", 602), ("banded", 256)]
+
+
+@pytest.mark.parametrize("name", ["sage", "gcn", "gat"])
+def test_layerwise_inference_uva_matches_full(small_synth, name):
+    """Host-chunked UVA inference (bounded device memory, host-resident
+    activations — the reference's use_uva DataLoader inference,
+    model.py:351-362) == the one-shot full-graph path, multi-chunk."""
+    from bliss_gnn_tpu.models.inference import layerwise_inference_uva
+
+    g, nc, _ = small_synth
+    blocks, dg = _all_nodes_blocks(g, 2)
+    model = build_model(name, 12, nc, 2, dropout=0.0, dtype=jnp.float32)
+    x = jnp.take(dg.ndata["features"].astype(jnp.float32),
+                 blocks[0].src_gids, axis=0)
+    params = model.init(jax.random.PRNGKey(1), blocks, x)
+    heads = (4, 1)
+    ref = layerwise_inference(
+        name, params, dg, 2, heads=heads, dtype=jnp.float32,
+    )
+    feats = np.asarray(dg.ndata["features"].astype(jnp.float32))
+    # node_batch=64 forces several chunks over the 200-node graph
+    uva = layerwise_inference_uva(
+        name, params, g, 2, heads=heads, dtype=jnp.float32,
+        node_batch=64, features=feats,
+    )
+    np.testing.assert_allclose(
+        np.asarray(uva), np.asarray(ref), rtol=2e-4, atol=2e-4,
+    )
