@@ -120,6 +120,32 @@ def make_dp_multi_train_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_dp_multi_eval_step(
+    mesh: Mesh,
+    model,
+    sampler_cfg: SamplerConfig,
+    plan: CapacityPlan,
+    multilabel: bool,
+    axis: str = "dp",
+) -> Callable:
+    """Scan-chained DP validation: seeds/masks [K, n_dev * local_batch],
+    one dispatch for K sampled val batches (steps._make_multi_eval_fn
+    under shard_map); returns psum-reduced (f1, loss*n, n, carry_key)."""
+    from jax import shard_map
+
+    from bliss_gnn_tpu.train.steps import _make_multi_eval_fn
+
+    fn = shard_map(
+        _make_multi_eval_fn(model, sampler_cfg, plan, multilabel,
+                            dp_axis=axis),
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, axis), P(None, axis), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_dp_eval_step(
     mesh: Mesh,
     model,

@@ -322,6 +322,41 @@ def make_sharded_eval_step(
     return jax.jit(fn)
 
 
+def make_sharded_multi_eval_step(
+    mesh: Mesh,
+    sgraph: ShardedDeviceGraph,
+    model,
+    sampler_cfg: SamplerConfig,
+    plan: CapacityPlan,
+    multilabel: bool,
+    axis: str = "dp",
+) -> Callable:
+    """Scan-chained sharded validation (seeds/masks [K, S * local_batch]) —
+    the graph-sharded sibling of parallel.dp.make_dp_multi_eval_step."""
+    from bliss_gnn_tpu.train.steps import _make_multi_eval_fn
+
+    storage = ShardedStorage(axis, sgraph.epr, sgraph.npr, sampler_cfg.n_layers)
+    local = _make_multi_eval_fn(
+        model, sampler_cfg, plan, multilabel, dp_axis=axis, storage=storage,
+    )
+
+    def body(state, key, seeds, seeds_mask, sg):
+        return local(state, key, seeds, seeds_mask, _LocalView(sg, axis))
+
+    from jax import shard_map
+
+    spec = _state_spec(axis, sampler_cfg.is_bandit)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, P(), P(None, axis), P(None, axis),
+                  sgraph.specs(axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_renorm(
     mesh: Mesh, n_layers: int, epr: int, axis: str = "dp"
 ) -> Callable:

@@ -114,6 +114,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of N training steps")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="chain K fused steps in one lax.scan dispatch")
+    p.add_argument("--eval-steps-per-call", type=int, default=8,
+                   help="chain K sampled-validation batches per dispatch "
+                        "(exactly equal metrics to the per-batch loop; "
+                        "1 disables)")
     p.add_argument("--platform", type=str, default="",
                    help="force a jax platform (e.g. 'cpu' for a virtual "
                         "host mesh with XLA_FLAGS=--xla_force_host_platform_"
@@ -190,6 +194,7 @@ def config_from_args(args) -> "TrainConfig":
         use_uva=args.use_uva,
         cache_size=args.cache_size,
         steps_per_call=args.steps_per_call,
+        eval_steps_per_call=args.eval_steps_per_call,
         dp=args.dp,
         shard_graph=args.shard_graph,
         shard_indptr=(None if args.shard_indptr is None

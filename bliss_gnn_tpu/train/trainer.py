@@ -131,6 +131,11 @@ class TrainConfig:
     # chain K fused steps in one lax.scan dispatch (steps.py:
     # make_multi_train_step) — amortizes per-step dispatch latency
     steps_per_call: int = 1
+    # chain K sampled-validation batches per dispatch (eval analog of the
+    # scan chain; ~33 ms dispatch latency per val batch otherwise).  The
+    # chained sums equal the per-batch loop exactly.  1 disables; UVA runs
+    # always unchained (host feature gather per batch).
+    eval_steps_per_call: int = 8
     # 'auto' uses the banded Pallas SpMM for SAGE/GCN final eval on TPU when
     # the graph is large; 'xla' forces the chunked segment-sum path
     inference_backend: str = "auto"
@@ -503,6 +508,32 @@ class Trainer:
                     self.graph, self.model, self.tx, self.sampler_cfg,
                     self.plan, self.multilabel, cfg.steps_per_call,
                 )
+        # chained validation (one dispatch per K val batches); UVA stays
+        # unchained — its host feature gather splits every batch anyway
+        self.multi_eval = None
+        if cfg.eval_steps_per_call > 1 and self.feature_cache is None:
+            if cfg.shard_graph:
+                from bliss_gnn_tpu.parallel.shardedstep import (
+                    make_sharded_multi_eval_step,
+                )
+
+                self.multi_eval = make_sharded_multi_eval_step(
+                    self.mesh, self.sharded_graph, self.model,
+                    self.sampler_cfg, self.plan, self.multilabel,
+                )
+            elif self.dp > 1:
+                from bliss_gnn_tpu.parallel.dp import make_dp_multi_eval_step
+
+                self.multi_eval = make_dp_multi_eval_step(
+                    self.mesh, self.model, self.sampler_cfg, self.plan,
+                    self.multilabel,
+                )
+            else:
+                from bliss_gnn_tpu.train.steps import make_multi_eval_step
+
+                self.multi_eval = make_multi_eval_step(
+                    self.model, self.sampler_cfg, self.plan, self.multilabel,
+                )
 
     # -- UVA (host-feature) step wrappers --------------------------------
     def _uva_gather(self, blocks):
@@ -743,18 +774,37 @@ class Trainer:
         f1 = F1State.zero()
         loss_sum, n_sum = 0.0, 0.0
         key = jax.random.PRNGKey(self.cfg.seed + 1000 + epoch)
-        n_batches = -(-len(self.val_nid) // self.batch_size)
-        for b in range(n_batches):
-            chunk = self.val_nid[b * self.batch_size : (b + 1) * self.batch_size]
-            pad = self.batch_size - len(chunk)
-            seeds = self._put_batch(
-                np.pad(chunk, (0, pad)).astype(np.int32)
-            )
-            smask = self._put_batch(np.arange(self.batch_size) < len(chunk))
-            key, sub = jax.random.split(key)
-            df1, dloss, dn = self.eval_step(
-                self.state, sub, seeds, smask, self._step_graph
-            )
+        B = self.batch_size
+        n_batches = -(-len(self.val_nid) // B)
+
+        def batch_arrays(b0, k):
+            """k padded val batches starting at batch b0, stacked [k, B]."""
+            seeds = np.zeros((k, B), np.int32)
+            masks = np.zeros((k, B), bool)
+            for j in range(k):
+                chunk = self.val_nid[(b0 + j) * B : (b0 + j + 1) * B]
+                seeds[j, : len(chunk)] = chunk
+                masks[j, : len(chunk)] = True
+            return seeds, masks
+
+        K = self.cfg.eval_steps_per_call
+        b = 0
+        while b < n_batches:
+            if self.multi_eval is not None and b + K <= n_batches:
+                seeds, masks = batch_arrays(b, K)
+                df1, dloss, dn, key = self.multi_eval(
+                    self.state, key, self._put_batch(seeds),
+                    self._put_batch(masks), self._step_graph,
+                )
+                b += K
+            else:
+                seeds, masks = batch_arrays(b, 1)
+                key, sub = jax.random.split(key)
+                df1, dloss, dn = self.eval_step(
+                    self.state, sub, self._put_batch(seeds[0]),
+                    self._put_batch(masks[0]), self._step_graph,
+                )
+                b += 1
             f1 = jax.tree.map(lambda a, b: a + b, f1, df1)
             loss_sum += float(dloss)
             n_sum += float(dn)

@@ -42,3 +42,24 @@ def test_chain_remainder_falls_back_to_single():
     # 6 steps with K=4: one chained call (4) + 2 single steps
     t = _run(4)
     assert int(t.state.step) == 6
+
+
+def test_chained_validation_matches_unchained():
+    """The scan-chained validation (eval analog of make_multi_train_step,
+    VERDICT r2 weak #5) accumulates exactly the per-batch loop's metrics:
+    same key-split sequence, same (f1, loss, n) sums."""
+    from bliss_gnn_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        dataset="synth-small", model="sage", sampler="poisson-bandit",
+        fan_out=(8, 4), num_layers=2, batch_size=16, num_steps=1,
+        num_hidden=8, disable_checkpoint=True, refit_after=0,
+        logdir="/tmp/bliss_chainval", eval_steps_per_call=3,
+    )
+    t = Trainer(cfg)
+    # several val batches incl. a chained group and an unchained tail
+    assert -(-len(t.val_nid) // t.batch_size) > 3
+    acc_chained = t._validate(epoch=1)
+    t.multi_eval = None  # force the per-batch path, same epoch key
+    acc_plain = t._validate(epoch=1)
+    assert acc_chained == acc_plain
