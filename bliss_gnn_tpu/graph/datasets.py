@@ -308,6 +308,54 @@ def _npz_member_memmap(npz_path: str, member: str) -> np.ndarray:
     return np.load(sidecar, mmap_mode="r")
 
 
+def bandit_bench_graph(
+    n_nodes: int = 19717,
+    n_edges: int = 240_000,
+    n_feats: int = 24,
+    n_classes: int = 3,
+    dead_frac: float = 0.75,
+    n_dead: int = 2000,
+    seed: int = 0,
+) -> Tuple[Graph, int, bool]:
+    """Pubmed-dimensioned stand-in where the BANDIT measurably matters.
+
+    A plain clustered synthetic saturates in a handful of steps regardless
+    of sampler (the round-2 time_to_f1 critique).  Here ``dead_frac`` of
+    every node's in-edges are rerouted to featureless DEAD distractor
+    nodes: aggregating them dilutes the class signal, and their
+    near-zero embedding norms are exactly what the EXP3 reward
+    r_ij ~ ||h_j||^2 / q_ij^2 (bandit_sampler.py:160-193) learns to
+    downweight — static importance keeps sampling them.  time-to-val-F1
+    on this graph separates the bandit from a broken/disabled bandit
+    update (bench.py time_to_val_f1)."""
+    g, n_classes, ml = synthetic_graph(
+        n_nodes, n_edges, n_feats, n_classes, seed=seed
+    )
+    rng = np.random.default_rng(seed + 1)
+    # rebuild the edge list from the CSC arrays
+    dst = np.repeat(np.arange(g.n_nodes), np.diff(g.csc_indptr))
+    src = np.asarray(g.csc_src)
+    reroute = rng.random(len(src)) < dead_frac
+    src = np.where(
+        reroute, n_nodes + rng.integers(0, n_dead, len(src)), src
+    )
+    n_total = n_nodes + n_dead
+    feats = np.concatenate([
+        np.asarray(g.ndata["features"]),
+        rng.normal(scale=0.02, size=(n_dead, n_feats)).astype(np.float32),
+    ])
+    labels = np.concatenate([
+        np.asarray(g.ndata["labels"]),
+        rng.integers(0, n_classes, n_dead).astype(np.int64),
+    ])
+    masks = {
+        k: np.concatenate([np.asarray(g.ndata[k]), np.zeros(n_dead, bool)])
+        for k in ("train_mask", "val_mask", "test_mask")
+    }
+    ndata = {"features": feats, "labels": labels, **masks}
+    return Graph(src, dst, n_total, ndata=ndata), n_classes, ml
+
+
 def _load_ogb(name: str) -> Tuple[Graph, int, bool]:
     """OGB node-prop on-disk layouts (reference: load_graph.py:32-63 via
     ogb.nodeproppred; supported names ogbn-products/arxiv/papers100M,

@@ -169,10 +169,18 @@ def gather_in_edges(
     total = jnp.sum(deg)
 
     cpos = jnp.arange(n_chunk_cap, dtype=jnp.int32)
-    owner = jnp.clip(
-        jnp.searchsorted(coff, cpos, side="right").astype(jnp.int32) - 1,
-        0, n_seeds - 1,
+    # ownership map: scatter each (chunk-owning) seed's index at its first
+    # chunk position, then forward-fill with cummax — O(n_chunk) vector
+    # work where jnp.searchsorted lowers to a ~1.6 ms sequential while
+    # loop at Reddit-scale chunk counts (trace: while.28).  Zero-chunk
+    # seeds scatter nowhere, matching searchsorted-right's last-seed pick.
+    starts = jnp.where(
+        (nchunks > 0) & (coff < n_chunk_cap), coff, n_chunk_cap
     )
+    own0 = jnp.full(n_chunk_cap, -1, jnp.int32).at[starts].max(
+        jnp.arange(n_seeds, dtype=jnp.int32), mode="drop"
+    )
+    owner = jnp.clip(jax.lax.cummax(own0), 0, n_seeds - 1)
     chunk_valid = cpos < jnp.minimum(total_chunks, n_chunk_cap)
     within_chunkidx = cpos - jnp.take(coff, owner)
     chunk_gidx = jnp.take(g_start, owner) + within_chunkidx
@@ -316,44 +324,56 @@ def compact_by_mask(mask: jax.Array, out_cap: int):
     """Stable compaction: indices of True entries packed into ``out_cap``
     slots (boolean indexing with a static output size).
 
-    cumsum + scatter, NOT argsort: sort lowerings dominate both compile
-    time (~15-20 s each on TPU through remote compilation) and runtime for
-    multi-million-element frontiers; the prefix-sum ranking is
-    order-preserving and linear.
+    GATHER-SIDE formulation — no big scatter at all.  The input is viewed
+    as [n_in/128, 128] rows; per-row kept counts and their exclusive
+    cumsum give each row's output base, and every OUTPUT slot j finds its
+    source as (row r with base_r <= j via a scatter+cummax ownership
+    fill, then the (j - base_r)-th set lane of row r via a lane-axis
+    prefix sum).  Everything is O(out_cap x 128) VECTOR work + O(n_in)
+    streaming — where the former scatter formulation paid a per-element
+    read-modify-write over ALL n_in slots (~3.6 ns/elem banked Pallas,
+    ~11.5 ms on the 2.6M-slot refit frontier for a 125k-slot output;
+    trace `_lambda_.6`).  A predicated-skip scatter was probed and hangs
+    the Mosaic compiler (scripts/probe_skip_scatter.py).
 
     Returns (idx [out_cap], out_mask [out_cap], n) — idx of padded slots is
     0.  Overflow (n > out_cap) truncates to the first out_cap True entries.
     """
     n_in = mask.shape[0]
-    arange_in = jnp.arange(n_in, dtype=jnp.int32)
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1  # rank of each True entry
     n = jnp.sum(mask.astype(jnp.int32))
-    from bliss_gnn_tpu.ops.scatter_pallas import (
-        MIN_ELEMS,
-        maybe_banked_scatter_add,
-    )
-
-    if n_in >= MIN_ELEMS and n_in < (1 << 24):
-        # compaction targets are unique, so scatter-SET == scatter-ADD into
-        # a zeroed buffer — route through the banked Pallas kernel (2.2 vs
-        # ~4.4 ns/elem; positions < 2^24 are exact in its f32 accumulator).
-        # Dropped slots all add into one discarded dump slot.
-        slot = jnp.where(mask & (pos < out_cap), pos, out_cap)
-        got = maybe_banked_scatter_add(
-            slot, arange_in.astype(jnp.float32), out_cap + 1
-        )
-        if got is not None:
-            idx = got[:out_cap].astype(jnp.int32)
-            out_mask = jnp.arange(out_cap, dtype=jnp.int32) < n
-            return idx, out_mask, n
-    # dropped slots get DISTINCT out-of-range targets so the scatter is
-    # truthfully unique-indexed — XLA then skips its duplicate-combining
-    # sort pass (measured ~4 ms on a 3M-slot frontier)
-    slot = jnp.where(mask & (pos < out_cap), pos, out_cap + arange_in)
-    idx = (
-        jnp.zeros(out_cap, jnp.int32)
-        .at[slot]
-        .set(arange_in, mode="drop", unique_indices=True)
-    )
     out_mask = jnp.arange(out_cap, dtype=jnp.int32) < n
+    if n_in % 128 != 0 or n_in < 1024:
+        # tiny/unaligned inputs: the one-shot scatter is fine (dropped
+        # slots get DISTINCT out-of-range targets -> truthfully
+        # unique-indexed, XLA skips its duplicate-combining sort pass)
+        arange_in = jnp.arange(n_in, dtype=jnp.int32)
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        slot = jnp.where(mask & (pos < out_cap), pos, out_cap + arange_in)
+        idx = (
+            jnp.zeros(out_cap, jnp.int32)
+            .at[slot]
+            .set(arange_in, mode="drop", unique_indices=True)
+        )
+        return idx, out_mask, n
+    rows = mask.reshape(-1, 128)
+    n_rows = rows.shape[0]
+    counts = jnp.sum(rows, axis=1, dtype=jnp.int32)  # [n_rows]
+    bases = jnp.cumsum(counts) - counts  # exclusive
+    # output slot j's source row: forward-fill row ids scattered at their
+    # bases (empty rows scatter nowhere; ties impossible among non-empty)
+    starts = jnp.where(
+        (counts > 0) & (bases < out_cap), bases, out_cap
+    )
+    own0 = jnp.full(out_cap, -1, jnp.int32).at[starts].max(
+        jnp.arange(n_rows, dtype=jnp.int32), mode="drop"
+    )
+    r_j = jnp.clip(jax.lax.cummax(own0), 0, n_rows - 1)
+    t = jnp.arange(out_cap, dtype=jnp.int32) - jnp.take(bases, r_j)
+    keeprow = jnp.take(rows, r_j, axis=0)  # [out_cap, 128]
+    prefix = jnp.cumsum(keeprow.astype(jnp.int32), axis=1)
+    # the (t+1)-th set lane of the source row
+    lane = jnp.argmax(
+        (prefix == (t[:, None] + 1)) & keeprow, axis=1
+    ).astype(jnp.int32)
+    idx = jnp.where(out_mask, r_j * 128 + lane, 0)
     return idx, out_mask, n

@@ -77,6 +77,10 @@ class SamplerConfig:
     exp3_delta_formula: bool = False
     exp3_T: int = 5000  # T in the delta formula (sampler num_steps default)
     model: str = "sage"  # 'gat' switches the alpha computation
+    # ABLATION knob: sample with the bandit machinery but never apply the
+    # arm-weight update (a "broken bandit") — bench.py's policy-effect
+    # metric trains once with and once without to show the update matters
+    exp3_freeze: bool = False
 
     def __post_init__(self):
         if self.kind not in ALL_KINDS:

@@ -314,7 +314,7 @@ def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel,
             loss = jax.lax.pmean(loss, dp_axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        if sampler_cfg.is_bandit:
+        if sampler_cfg.is_bandit and not sampler_cfg.exp3_freeze:
             # normalize=False (default): consumers renormalize per dst, so
             # the L1 row normalization is deferred to the Trainer's periodic
             # renormalize (exp3_renorm_every) — see apply_exp3_deltas
