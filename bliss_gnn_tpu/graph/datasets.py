@@ -87,12 +87,35 @@ def synthetic_graph(
     multilabel: bool = False,
     seed: int = 0,
     power: float = 0.8,
+    homophily: float = 0.0,
+    feature_noise: float = 2.0,
+    beacon_frac: float = 1.0,
+    beacon_scale: float = 1.0,
 ) -> Tuple[Graph, int, bool]:
     """Power-law random graph with clustered features for benchmark runs.
 
     Degree distribution follows a Zipf-like law (real social/citation graphs
     are heavy-tailed; Reddit's max in-degree is ~21k).  Features are noisy
     class prototypes so that GNN training makes measurable progress.
+
+    ``homophily`` rewires that fraction of edges to connect SAME-label
+    endpoints (real citation/social graphs are homophilous; with 0.0 the
+    structure is label-independent and aggregation is pure noise, so
+    sampler quality cannot move accuracy).  ``feature_noise`` scales the
+    per-node noise on the class prototypes: at the 2.0 default a linear
+    probe on raw features already separates classes; the 'hard' bench
+    variants raise it so the signal lives in the (homophilous) neighborhood
+    aggregate and convergence genuinely depends on WHICH edges get sampled
+    — the property the time-to-val-F1 bench needs to be sensitive to a
+    broken bandit update.
+
+    ``beacon_frac`` < 1 makes only that fraction of nodes carry the class
+    prototype at ``beacon_scale`` amplitude (the rest at amplitude 1, i.e.
+    noise-dominated under a large ``feature_noise``).  This gives edges
+    HETEROGENEOUS importance in exactly the sense the EXP3 reward measures
+    (r_ij ~ alpha^2 * ||h_src||^2 / q^2, bandit_sampler.py:160-193): the
+    variance-minimizing sampler concentrates on beacon sources, so a
+    working bandit visibly beats uniform arm weights on val F1.
     """
     rng = np.random.default_rng(seed)
     # dst endpoints ~ power-law popularity
@@ -101,10 +124,25 @@ def synthetic_graph(
     dst = rng.choice(n_nodes, size=n_edges, p=pop)
     src = rng.integers(0, n_nodes, size=n_edges)
     labels_int = rng.integers(0, n_classes, size=n_nodes)
+    if homophily > 0.0:
+        # rewire a homophilous subset: src is redrawn from the dst's class
+        # (uniform within class), leaving the power-law dst endpoints alone
+        by_class = [np.flatnonzero(labels_int == c) for c in range(n_classes)]
+        rewire = rng.random(n_edges) < homophily
+        ridx = np.flatnonzero(rewire)
+        cls = labels_int[dst[ridx]]
+        pick = rng.integers(0, 1 << 62, size=len(ridx))
+        src[ridx] = np.array(
+            [by_class[c][p % len(by_class[c])] for c, p in zip(cls, pick)],
+            dtype=src.dtype,
+        )
     protos = rng.normal(size=(n_classes, n_feats)).astype(np.float32)
-    feats = protos[labels_int] + rng.normal(scale=2.0, size=(n_nodes, n_feats)).astype(
-        np.float32
-    )
+    amp = np.ones((n_nodes, 1), np.float32)
+    if beacon_frac < 1.0:
+        amp[rng.random(n_nodes) < beacon_frac] = beacon_scale
+    feats = protos[labels_int] * amp + rng.normal(
+        scale=feature_noise, size=(n_nodes, n_feats)
+    ).astype(np.float32)
     if multilabel:
         labels = np.zeros((n_nodes, n_classes), dtype=np.float32)
         labels[np.arange(n_nodes), labels_int] = 1.0
@@ -456,8 +494,21 @@ def load_dataset(name: str, seed: int = 0) -> Tuple[Graph, int, bool]:
             for m in ("train_mask", "val_mask", "test_mask"):
                 g.ndata[m] &= labeled
             return g, c, ml
+        hard = base.endswith("-hard")
+        if hard:
+            base = base[: -len("-hard")]
         if base in DATASET_STATS:
             n, e, f, c, ml = DATASET_STATS[base]
+            if hard:
+                # convergence-bench variant: homophilous structure, weak
+                # bulk features, and a beacon minority carrying the signal
+                # at high amplitude — val F1 then depends on sampling
+                # quality (see synthetic_graph docstring; A/B-calibrated
+                # against a broken EXP3 update in
+                # scripts/calibrate_ttvf1.py)
+                return synthetic_graph(n, e, f, c, multilabel=ml, seed=seed,
+                                       homophily=0.6, feature_noise=10.0,
+                                       beacon_frac=0.25, beacon_scale=8.0)
             return synthetic_graph(n, e, f, c, multilabel=ml, seed=seed)
         raise ValueError(f"unknown synthetic dataset '{name}'")
     if name in ("cora", "citeseer", "pubmed"):

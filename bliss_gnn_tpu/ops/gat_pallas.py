@@ -252,3 +252,249 @@ def banded_gat_attention(
             feats[:, hh * o_pad : hh * o_pad + O] / d[:, hh : hh + 1]
         )
     return out
+
+
+def _gat_kernel_packed(et: int, wr: int, f_half: int, h: int, o: int,
+                       slope: float, unroll: int,
+                       mxu_dtype=jnp.bfloat16):
+    """bf16 pair-packed gather variant of ``_gat_kernel``.
+
+    The src-feature row gather is the measured bottleneck of the banded GAT
+    sweep (same ~5-7 cy/row loop as the SpMM kernel, scaling with lane
+    count); the band arrives as f32 [band, f_half] with adjacent bf16
+    feature pairs packed per lane (``pack_band_features`` trick,
+    ops/spmm_pallas.py:_spmm_kernel_packed), halving the gathered lanes.
+    The in-kernel bitcast unpack leaves messages in the FIXED [evens|odds]
+    column permutation, so every per-feature operand (dst/window features,
+    the block-diagonal attention matrix, the accumulator) lives in that
+    permuted space too — the logit dot and leakyrelu are permutation-
+    invariant, and per-head column ranges split into two contiguous slices
+    (evens at [hh*o/2, (hh+1)*o/2), odds at f_half + the same range).
+    """
+    f = 2 * f_half
+    oh = o // 2  # per-head half-width in the permuted space
+
+    def kernel(
+        tile_win_ref, tile_first_ref, src_rel_ref,
+        dst_rel_ref,  # [1, 1, et] VMEM int32
+        w_ref,  # [1, 1, et] VMEM f32 (0 = padded slot)
+        attn_ref,  # [f, h] VMEM f32, ROWS PERMUTED ([evens|odds])
+        band_ref,  # [band, f_half] f32 packed bf16 pairs
+        win_ref,  # [wr, f] f32, COLUMNS PERMUTED
+        acc_in_ref,  # [wr, f + 2h] (feats permuted; m, d appended)
+        acc_out_ref,
+        msgs_ref,  # scratch [et, f_half] f32 (packed)
+    ):
+        t = pl.program_id(0)
+
+        def body(i, _):
+            base = i * unroll
+            for j in range(unroll):
+                msgs_ref[pl.ds(base + j, 1), :] = band_ref[
+                    pl.ds(src_rel_ref[base + j], 1), :
+                ]
+            return 0
+
+        jax.lax.fori_loop(0, et // unroll, body, 0)
+        msgs = pltpu.bitcast(msgs_ref[:], jnp.bfloat16).reshape(et, f)
+
+        rel = dst_rel_ref[0, 0, :]
+        wv = w_ref[0, 0, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (wr, et), 0)
+        onehot_w2e = rows == rel[None, :]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (et, wr), 1)
+        rel_col = jnp.sum(jnp.where(onehot_w2e, rows, 0), axis=0)
+        onehot_e2w = (cols == rel_col[:, None]).astype(mxu_dtype)
+        er = jnp.dot(
+            onehot_e2w, win_ref[:].astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )  # [et, f] permuted
+        z = msgs.astype(jnp.float32) + er
+        z = jnp.where(z >= 0, z, slope * z)
+        e = jnp.dot(
+            z.astype(mxu_dtype), attn_ref[:].astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )  # [et, h]
+        w_col = jnp.sum(jnp.where(onehot_w2e, wv[None, :], 0.0), axis=0)
+        eT = e.T
+        validT = (w_col > 0)[None, :]
+        eT = jnp.where(validT, eT, NEG)
+
+        m_parts = []
+        for hh in range(h):
+            masked = jnp.where(onehot_w2e, eT[hh][None, :], NEG)
+            m_parts.append(jnp.max(masked, axis=1, keepdims=True))
+        m_tile = jnp.concatenate(m_parts, axis=1)  # [wr, h]
+
+        first = tile_first_ref[t] == 1
+
+        def fold(acc_prev):
+            feats = acc_prev[:, :f]
+            m_old = acc_prev[:, f : f + h]
+            d_old = acc_prev[:, f + h :]
+            m_new = jnp.maximum(m_old, m_tile)
+            scale = jnp.exp(m_old - m_new)
+            m_e = jnp.dot(
+                onehot_e2w.astype(jnp.float32), m_new,
+                preferred_element_type=jnp.float32,
+            )
+            m_eT = m_e.T
+            w_eT = jnp.where(validT, jnp.exp(eT - m_eT), 0.0)
+            parts_e = []
+            parts_o = []
+            d_parts = []
+            for hh in range(h):
+                oneh = jnp.where(onehot_w2e, w_eT[hh][None, :], 0.0)
+                oneh_m = oneh.astype(mxu_dtype)
+                parts_e.append(jnp.dot(
+                    oneh_m, msgs[:, hh * oh : (hh + 1) * oh],
+                    preferred_element_type=jnp.float32,
+                ))
+                parts_o.append(jnp.dot(
+                    oneh_m, msgs[:, f_half + hh * oh : f_half + (hh + 1) * oh],
+                    preferred_element_type=jnp.float32,
+                ))
+                d_parts.append(jnp.sum(oneh, axis=1, keepdims=True))
+            pad_w = f_half - h * oh  # permuted tail when H*o_pad % 256 != 0
+            if pad_w:
+                zpad = jnp.zeros((wr, pad_w), jnp.float32)
+                parts_e.append(zpad)
+                parts_o.append(zpad)
+            part_all = jnp.concatenate(parts_e + parts_o, axis=1)  # [wr, f]
+            d_tile = jnp.concatenate(d_parts, axis=1)
+            scale_h = jnp.repeat(scale, oh, axis=1)  # [wr, h*oh]
+            if pad_w:
+                scale_h = jnp.concatenate(
+                    [scale_h, jnp.ones((wr, pad_w), jnp.float32)], axis=1)
+            scale_f = jnp.concatenate([scale_h, scale_h], axis=1)
+            feats = feats * scale_f + part_all
+            d_new = d_old * scale + d_tile
+            return jnp.concatenate([feats, m_new, d_new], axis=1)
+
+        @pl.when(first)
+        def _():
+            acc_out_ref[:, :] = fold(acc_in_ref[:, :])
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            acc_out_ref[:, :] = fold(acc_out_ref[:, :])
+
+    return kernel
+
+
+def banded_gat_attention_packed(
+    feat: jax.Array,  # [N, H, O] projected features (shared src/dst)
+    attn: jax.Array,  # [1, H, O] (or [H, O]) attention vector
+    negative_slope: float,
+    layout: DeviceBandedLayout,
+    n_nodes: int,
+    unroll: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pair-packed-gather full-graph GATv2 attention -> [N, H, O] f32.
+
+    Numerics: messages round through bf16 at the unpack (the TPU path of
+    the base kernel feeds every MXU contraction in bf16 anyway, so the
+    difference is one extra bf16 rounding of the message operand of the
+    logit sum).  Requires H*round_up(O,128) padded to a multiple of 256
+    (done internally; zero columns are inert in every contraction).
+    """
+    m = layout.meta
+    H, O = feat.shape[1], feat.shape[2]
+    o_pad = _round_up(O, 128)
+    f = H * o_pad
+    f_total = _round_up(f, 256)
+    f_half = f_total // 2
+    if o_pad % 2:
+        raise ValueError("o_pad must be even")  # unreachable: 128-aligned
+    attn2 = attn.reshape(H, O).astype(jnp.float32)
+    attn_blk = jnp.zeros((f_total, H), jnp.float32)
+    for hh in range(H):
+        attn_blk = attn_blk.at[hh * o_pad : hh * o_pad + O, hh].set(attn2[hh])
+    # permute attention rows into the packed kernel's [evens|odds] space
+    attn_perm = jnp.concatenate([attn_blk[0::2], attn_blk[1::2]], axis=0)
+
+    rows_needed = max(m.n_bands * m.band, m.n_wins * m.wr)
+    x = jnp.zeros((rows_needed, f_total), jnp.float32)
+    src = feat.astype(jnp.float32)
+    for hh in range(H):
+        x = x.at[:n_nodes, hh * o_pad : hh * o_pad + O].set(src[:, hh, :])
+    # band side: adjacent bf16 pairs packed into f32 lanes
+    xp = jax.lax.bitcast_convert_type(
+        x.astype(jnp.bfloat16).reshape(rows_needed, f_half, 2), jnp.float32
+    )
+    # window (dst) side: plain f32, columns permuted to match the unpack
+    x_perm = jnp.concatenate([x[:, 0::2], x[:, 1::2]], axis=1)
+
+    acc = jnp.zeros((m.n_wins * m.wr, f_total + 2 * H), jnp.float32)
+    acc = acc.at[:, f_total : f_total + H].set(NEG)
+    unroll = math.gcd(unroll, m.et)
+    mxu_dtype = jnp.float32 if interpret else jnp.bfloat16
+    # per-head permuted half-width: o_pad//2 except the padding tail, which
+    # only ever multiplies zero columns
+    kernel = _gat_kernel_packed(m.et, m.wr, f_half, H, o_pad, negative_slope,
+                                unroll, mxu_dtype)
+    nt = m.nt_per_band
+    for band_id in range(m.n_bands):
+        t0, t1 = band_id * nt, (band_id + 1) * nt
+        band_slice = jax.lax.dynamic_slice_in_dim(
+            xp, band_id * m.band, m.band, axis=0
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((m.et,), lambda i, tw, tf: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, m.et), lambda i, tw, tf: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, m.et), lambda i, tw, tf: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # attn_perm
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # packed band
+                pl.BlockSpec((m.wr, f_total), lambda i, tw, tf: (tw[i], 0),
+                             memory_space=pltpu.VMEM),  # window feats (perm)
+                pl.BlockSpec((m.wr, f_total + 2 * H),
+                             lambda i, tw, tf: (tw[i], 0),
+                             memory_space=pltpu.VMEM),  # acc in
+            ],
+            out_specs=pl.BlockSpec(
+                (m.wr, f_total + 2 * H), lambda i, tw, tf: (tw[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.VMEM((m.et, f_half), jnp.float32)],
+        )
+        acc = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (m.n_wins * m.wr, f_total + 2 * H), jnp.float32
+            ),
+            grid_spec=grid_spec,
+            input_output_aliases={8: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            layout.tile_win[band_id],
+            layout.tile_first[band_id],
+            layout.src_rel[band_id],
+            layout.dst_rel[t0:t1],
+            layout.edge_w[t0:t1],
+            attn_perm,
+            band_slice,
+            x_perm[: m.n_wins * m.wr],
+            acc,
+        )
+    # undo the [evens|odds] permutation, strip padding, normalize per head
+    fp = acc[:n_nodes, :f_total]
+    feats = jnp.zeros_like(fp)
+    feats = feats.at[:, 0::2].set(fp[:, :f_half])
+    feats = feats.at[:, 1::2].set(fp[:, f_half:])
+    d = jnp.maximum(acc[:n_nodes, f_total + H :], jnp.finfo(jnp.float32).tiny)
+    out = jnp.zeros((n_nodes, H, O), jnp.float32)
+    for hh in range(H):
+        out = out.at[:, hh, :].set(
+            feats[:, hh * o_pad : hh * o_pad + O] / d[:, hh : hh + 1]
+        )
+    return out

@@ -5,6 +5,7 @@ that the axon tunnel memoizes identical repeat dispatches (CLAUDE.md).
 PYTHONPATH=.:/root/.axon_site python scripts/probe_gat_honest.py
 """
 import os
+import sys
 import time
 
 import numpy as np
@@ -34,7 +35,10 @@ n_edges = len(csc_src)
 n_nodes = bench.N_NODES
 log(f"graph: {n_nodes} nodes {n_edges} edges")
 
-from bliss_gnn_tpu.ops.gat_pallas import banded_gat_attention  # noqa: E402
+from bliss_gnn_tpu.ops.gat_pallas import (  # noqa: E402
+    banded_gat_attention,
+    banded_gat_attention_packed,
+)
 from bliss_gnn_tpu.ops.fullgraph import full_gat_attention  # noqa: E402
 from bliss_gnn_tpu.ops.spmm_pallas import (  # noqa: E402
     DeviceBandedLayout,
@@ -66,6 +70,33 @@ for r in range(3):
 t_p = min(ts)
 log(f"banded GAT: {t_p*1e3:.0f} ms -> {n_edges/t_p/1e6:.1f} M edges/s")
 
+packed_fn = jax.jit(
+    lambda f, a, dl, s: banded_gat_attention_packed(
+        f * (1 + s * 1e-6), a, 0.2, dl, n_nodes
+    )[0, 0, 0]
+)
+float(packed_fn(feat, attn, dl, jnp.float32(0)))
+log("packed compiled+warm")
+ts = []
+for r in range(3):
+    t0 = time.perf_counter()
+    float(packed_fn(feat, attn, dl, jnp.float32(1 + r)))
+    ts.append(time.perf_counter() - t0 - 0.033)
+t_pk = min(ts)
+log(f"packed GAT: {t_pk*1e3:.0f} ms -> {n_edges/t_pk/1e6:.1f} M edges/s "
+    f"({t_p/t_pk:.2f}x the base kernel)")
+# accuracy cross-check on device (bf16 message rounding only)
+a_base = np.asarray(jax.jit(
+    lambda f, a, dl: banded_gat_attention(f, a, 0.2, dl, n_nodes)[:64]
+)(feat, attn, dl))
+a_pk = np.asarray(jax.jit(
+    lambda f, a, dl: banded_gat_attention_packed(f, a, 0.2, dl, n_nodes)[:64]
+)(feat, attn, dl))
+log(f"packed-vs-base max|diff| {np.abs(a_base-a_pk).max():.2e} "
+    f"(scale {np.abs(a_base).max():.2e})")
+
+if os.environ.get("BLISS_PROBE_XLA", "1") == "0":
+    sys.exit(0)
 ip = jnp.asarray(indptr, jnp.int32)
 sp = jnp.asarray(csc_src, jnp.int32)
 xla_fn = jax.jit(

@@ -155,3 +155,26 @@ def test_evaluation_helpers(small_synth):
     assert test_g.n_nodes == g.n_nodes
     s, d = train_g.edges()
     assert train_g.n_edges <= g.n_edges
+
+
+def test_synthetic_graph_homophily_knob():
+    """The 'hard' stand-in family: homophily rewires that fraction of edges
+    to same-label endpoints (sampler-quality sensitivity for the
+    time-to-val-F1 bench); feature_noise scales prototype noise."""
+    from bliss_gnn_tpu.graph.datasets import load_dataset, synthetic_graph
+
+    g0, _, _ = synthetic_graph(400, 4000, 8, 4, seed=3, homophily=0.0)
+    g1, _, _ = synthetic_graph(400, 4000, 8, 4, seed=3, homophily=0.8)
+    lab = g1.ndata["labels"]
+
+    def same_frac(g):
+        lab = np.asarray(g.ndata["labels"])
+        dst = np.repeat(np.arange(g.n_nodes), np.diff(g.csc_indptr))
+        return float((lab[np.asarray(g.csc_src)] == lab[dst]).mean())
+
+    assert same_frac(g0) < 0.4  # ~1/n_classes plus chance
+    assert same_frac(g1) > 0.75
+    # labels/masks/shape contracts unchanged
+    assert lab.shape == (400,)
+    gh, c, ml = load_dataset("synth-pubmed-hard")
+    assert gh.n_nodes == 19717 and not ml
