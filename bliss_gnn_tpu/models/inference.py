@@ -65,14 +65,24 @@ def make_pallas_gat(graph: DeviceGraph, band: int = 8192, wr: int = 256,
                     et: int = 2048):
     """Banded-Pallas GATv2 attention closure (ops/gat_pallas.py) — one
     online-softmax sweep instead of the 3-pass XLA streaming path
-    (111 M vs 3.6 M edges/s, ~30x; scripts/probe_gat_honest.py).
-    band=8192 keeps the f32 band block
-    within VMEM up to H*O_pad = 1024 feature lanes."""
+    (scripts/probe_gat_honest.py).  band=8192 keeps the f32 band block
+    within VMEM up to H*O_pad = 1024 feature lanes.
+
+    Routing mirrors spmm_via_pallas: when the flat feature width
+    H*round_up(O, 128) fits one packed vreg lane group (<= 256), the bf16
+    pair-packed gather variant is measured 1.64x the f32 kernel (186 vs
+    113 M edges/s at probe scale — the (1, 128) row-copy fast path);
+    wider shapes stay on the base kernel, where packing's 256+-lane copies
+    lose the gain (same cliff as the SpMM, scripts/probe_packed.py)."""
     import numpy as np
 
-    from bliss_gnn_tpu.ops.gat_pallas import banded_gat_attention
+    from bliss_gnn_tpu.ops.gat_pallas import (
+        banded_gat_attention,
+        banded_gat_attention_packed,
+    )
     from bliss_gnn_tpu.ops.spmm_pallas import (
         DeviceBandedLayout,
+        _round_up,
         build_banded_layout,
     )
 
@@ -84,9 +94,10 @@ def make_pallas_gat(graph: DeviceGraph, band: int = 8192, wr: int = 256,
     dl = DeviceBandedLayout.from_host(layout)
 
     def gat_attn(feat, attn, negative_slope):
-        return banded_gat_attention(
-            feat, attn, negative_slope, dl, graph.n_nodes
-        )
+        f = feat.shape[1] * _round_up(feat.shape[2], 128)
+        kern = (banded_gat_attention_packed if f <= 256
+                else banded_gat_attention)
+        return kern(feat, attn, negative_slope, dl, graph.n_nodes)
     return gat_attn
 
 

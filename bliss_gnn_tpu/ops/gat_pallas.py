@@ -23,6 +23,32 @@ message el_src * a.
 Per-edge dst-side operands come from the resident window block via one-hot
 MXU contractions (no dst gathers); per-edge src features use the same VMEM
 row-gather loop as the SpMM kernel.
+
+Performance floor (probed on v5e at full Reddit scale, H=1 O=256,
+scripts/probe_gat_honest.py; cycles at ~0.94 GHz):
+
+    base kernel   110.9 M edges/s (8.5 cy/edge)
+    packed kernel 167.4 M edges/s (5.66 cy/edge, 1.51x) <- default at
+                                                           H*O_pad <= 256
+
+Packed budget per edge: 1.7 cy packed (1,128) row copy (the probed
+fast-path floor, scripts/probe_gather.py) + 1.26 cy MXU (the er and
+message contractions are each [256x2048]@[2048x256] = 134 M MAC/tile —
+algorithmically required: one logit term, one weighted aggregate) + ~2.5
+cy of [wr, et]-shaped VPU passes (two one-hot builds, the per-dst masked
+max, the w_e mask, the denominator reduce — all inherent to online
+softmax via one-hot scatter) ~= 5.5 cy/edge; the kernel runs at ~97% of
+that floor.  Two levers probed and REJECTED:
+- lane-aligning the accumulator's m/d columns into their own 128-lane
+  groups (vs the f+2H misaligned width): 166.4 M — within noise, Mosaic
+  already handles the masked tail well;
+- replacing the rel_col / w_col [wr, et] masked-reduce derivations with
+  direct lane->sublane relayouts (rel[:, None], (wv > 0)[None, :]):
+  159.7 M base 108.2 — the explicit relayout of a lane-major [et] vector
+  is SLOWER than re-deriving it through a [wr, et] reduce, which is why
+  the kernel derives sublane-major operands the way it does.
+Reaching ~200 M would require fewer [wr, et] passes per tile; with max,
+mask, and denominator each needing one, the headroom is ~0.5 cy/edge.
 """
 from __future__ import annotations
 
