@@ -299,7 +299,7 @@ def _bench_step(indptr, csc_src):
     from bliss_gnn_tpu.graph.structure import DeviceGraph
     from bliss_gnn_tpu.models.gnn import build_model
     from bliss_gnn_tpu.sampling.block import CapacityPlan
-    from bliss_gnn_tpu.sampling.frontier import EDGE_PAD
+    from bliss_gnn_tpu.sampling.frontier import EDGE_PAD, edge_grid
     from bliss_gnn_tpu.sampling.samplers import (
         SamplerConfig,
         init_exp3_weights,
@@ -329,7 +329,13 @@ def _bench_step(indptr, csc_src):
             features=jax.random.normal(key, (N_NODES, N_FEATS), jnp.bfloat16),
             labels=jax.random.randint(key, (N_NODES,), 0, 41),
         ),
-        edata=dict(w=jnp.asarray(pad_e(w), jnp.bfloat16)),
+        edata=dict(
+            w=jnp.asarray(pad_e(w), jnp.bfloat16),
+            # upload-time grid copies (same as Graph.to_device) — skips the
+            # per-call whole-array relayout in frontier_gather
+            __grid__csc_src=jnp.asarray(edge_grid(csc_src.astype(np.int32))),
+            __grid__w=jnp.asarray(edge_grid(w), jnp.bfloat16),
+        ),
     )
     jax.block_until_ready(graph.csc_src)
     bs = min(256, N_NODES)

@@ -187,6 +187,19 @@ class Graph:
 
         ed = {k: jnp.asarray(_pad_e(np.asarray(v)))
               for k, v in self.edata.items()}
+        # pre-shaped [R, 128] copies of the sampler-gathered edge arrays:
+        # the flat->2-D view costs a whole-array relayout per sample call
+        # otherwise (frontier.py:frontier_gather).  Skipped at beyond-HBM
+        # scale (the sharded/UVA storages manage their own layouts).
+        if idx_dtype == jnp.int32 and self.n_edges < 500_000_000:
+            from bliss_gnn_tpu.sampling.frontier import edge_grid
+
+            ed["__grid__csc_src"] = jnp.asarray(
+                edge_grid(np.asarray(self.csc_src, np.int32)))
+            for k in list(self.edata):
+                v = np.asarray(self.edata[k])
+                if v.ndim == 1:
+                    ed[f"__grid__{k}"] = jnp.asarray(edge_grid(v))
         return DeviceGraph(
             n_nodes=self.n_nodes,
             n_edges=self.n_edges,

@@ -197,7 +197,8 @@ class ShardedStorage(StepStorage):
             out = normalize_exp3_sharded(
                 out, self.n_layers, self.epr, self.axis
             )
-        return out.reshape(exp3.shape)
+        return (out.reshape(exp3.shape),
+                jnp.zeros((), jnp.int32))  # sharded path applies exactly
 
 
 def _state_spec(axis: str, bandit: bool) -> TrainState:
@@ -384,13 +385,13 @@ def make_sharded_renorm(
 def shard_exp3(
     flat: jax.Array, n_layers: int, n_edges: int, n_shards: int
 ) -> jax.Array:
-    """Canonical flat state (init_exp3_weights layout: layer-major rows of
-    n_edges + EDGE_PAD) -> mesh-stacked [S, L*epr + 1] (per-shard flat rows
-    + dump slot)."""
+    """Canonical state (init_exp3_weights: [L, R, 128] grid — legacy flat
+    layer-major rows also accepted) -> mesh-stacked [S, L*epr + 1]
+    (per-shard flat rows + dump slot)."""
     S, L = n_shards, n_layers
     epr = edges_per_shard(n_edges, S)
-    row_len = flat.shape[0] // L
-    rows = np.asarray(flat).reshape(L, row_len)
+    rows = np.asarray(flat).reshape(L, -1)
+    row_len = rows.shape[1]
     padded = np.zeros((L, S * epr), rows.dtype)
     k = min(row_len, S * epr)
     padded[:, :k] = rows[:, :k]
@@ -403,9 +404,10 @@ def shard_exp3(
 def unshard_exp3(
     stacked: jax.Array, n_layers: int, n_edges: int
 ) -> jax.Array:
-    """Mesh-stacked [S, L*epr + 1] -> canonical flat (layer-major rows of
-    n_edges + EDGE_PAD) — for checkpointing/inspection in the same format
-    as the replicated state."""
+    """Mesh-stacked [S, L*epr + 1] -> canonical [L, R, 128] grid (the
+    init_exp3_weights layout) — for checkpointing/inspection in the same
+    format as the replicated state."""
+    from bliss_gnn_tpu.ops.exp3_pallas import TILE_ROWS
     from bliss_gnn_tpu.sampling.frontier import EDGE_PAD
 
     arr = np.asarray(stacked)
@@ -416,8 +418,9 @@ def unshard_exp3(
     rows_full = np.concatenate(
         [per_shard[s] for s in range(S)], axis=1
     )  # [L, S*epr]
-    row_len = n_edges + EDGE_PAD
-    rows = np.zeros((L, row_len), arr.dtype)
-    k = min(row_len, S * epr)
+    raw_rows = -(-(n_edges + EDGE_PAD) // 128)
+    r = -(-raw_rows // TILE_ROWS) * TILE_ROWS
+    rows = np.zeros((L, r * 128), arr.dtype)
+    k = min(n_edges, S * epr)  # beyond n_edges the canonical state is 0
     rows[:, :k] = rows_full[:, :k]
-    return jnp.asarray(rows.reshape(-1))
+    return jnp.asarray(rows.reshape(L, r, 128))

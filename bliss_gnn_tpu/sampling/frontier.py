@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -64,7 +66,8 @@ def ptr_take(ptr: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take(ptr, idx)
 
 
-def frontier_gather(frontier: Frontier, data: jax.Array) -> jax.Array:
+def frontier_gather(frontier: Frontier, data: jax.Array,
+                    grid: jax.Array | None = None) -> jax.Array:
     """Gather data[eid] for every frontier slot, as a row gather of the
     grid-aligned chunks: data viewed as [E/ck, ck], one take per chunk.
 
@@ -72,6 +75,15 @@ def frontier_gather(frontier: Frontier, data: jax.Array) -> jax.Array:
     order.  Edge-indexed device arrays carry EDGE_PAD >= ck trailing zeros
     (DeviceGraph upload / init_exp3_weights) so the grid view always covers
     the last partial row.
+
+    ``grid`` is an optional PRE-SHAPED [R, G] 2-D copy of ``data`` (built
+    once at upload, DeviceGraph edata '__grid__*' keys): the flat->2-D
+    reshape here is NOT free on TPU — XLA materializes a tiled-layout
+    relayout of the WHOLE array every call (measured 1.4 ms for the 460 MB
+    csc_src + 0.7 ms for edge weights + 2.1 ms for the EXP3 state per
+    sample call at Reddit scale, trace op slice_bitcast_fusion.*) even
+    though only a few M elements get taken.  Used when its width matches
+    this frontier's ck (production plans pin ck=128).
 
     ``data`` may also be a sharded-storage handle (parallel/shards.py
     EShard — one device's contiguous slice of the global array); the gather
@@ -81,15 +93,31 @@ def frontier_gather(frontier: Frontier, data: jax.Array) -> jax.Array:
     if hasattr(data, "frontier_rows"):  # edge-sharded storage
         return data.frontier_rows(frontier)
     ck = frontier.ck
+    if grid is not None and grid.ndim == 2 and grid.shape[1] == ck:
+        return jnp.take(grid, frontier.chunk_gidx, axis=0).reshape(-1)
     n_rows = frontier.chunk_gidx.shape[0]
     need = ck  # minimum one full row
     if data.shape[0] < need:
         data = jnp.concatenate(
             [data, jnp.zeros(need - data.shape[0], data.dtype)]
         )
-    grid = data[: (data.shape[0] // ck) * ck].reshape(-1, ck)
-    rows = jnp.take(grid, frontier.chunk_gidx, axis=0)
+    grid2 = data[: (data.shape[0] // ck) * ck].reshape(-1, ck)
+    rows = jnp.take(grid2, frontier.chunk_gidx, axis=0)
     return rows.reshape(-1)
+
+
+GRID_W = 128  # width of pre-shaped '__grid__*' copies == the production ck
+
+
+def edge_grid(flat: np.ndarray) -> np.ndarray:
+    """Host-side [E'] -> [ceil(E'/128), 128] zero-padded reshape (free on
+    host; uploading the 2-D shape directly is what makes the device-side
+    view free — see frontier_gather's ``grid``)."""
+    flat = np.asarray(flat)
+    r = -(-flat.shape[0] // GRID_W)
+    out = np.zeros((r * GRID_W,), flat.dtype)
+    out[: flat.shape[0]] = flat
+    return out.reshape(r, GRID_W)
 
 
 def frontier_seed_broadcast(frontier: Frontier, vals: jax.Array) -> jax.Array:
@@ -129,6 +157,7 @@ def gather_in_edges(
     seeds_mask: jax.Array,
     e_cap: int,
     ck: int | None = None,
+    csc_src_grid: jax.Array | None = None,
 ) -> Frontier:
     """dgl.in_subgraph as a static-shape, grid-aligned flatten of CSC rows.
 
@@ -208,7 +237,8 @@ def gather_in_edges(
         chunk_owner=owner,
         chunk_valid=chunk_valid,
     )
-    src = frontier_gather(frontier, csc_src).astype(jnp.int32)
+    src = frontier_gather(frontier, csc_src, grid=csc_src_grid)
+    src = src.astype(jnp.int32)
     return frontier._replace(src_gid=jnp.where(e_mask, src, 0))
 
 

@@ -109,34 +109,52 @@ def init_exp3_weights(
 ) -> jax.Array:
     """Lazily-allocated ones in the reference (bandit_sampler.py:342-343).
 
-    The state is ONE FLAT [n_layers * row_len] buffer (layer-major rows of
-    length ``n_edges + EDGE_PAD``), not [L, E]: the per-step scatter-
-    multiply only hits XLA's fast in-place path on a 1-D donated buffer —
-    any 2-D view (reshape, row slice + stack, 2-D indices) was measured
-    60-96 ms/step at Reddit scale vs 1.3 ms flat (scripts/profile_step.py).
-    Rows carry EDGE_PAD trailing ZEROS (never touched by updates, invisible
-    to the L1 normalization) so the sampler's chunked slice gathers stay in
-    bounds — see sampling/frontier.py.  Use ``exp3_row`` to view one
-    layer's row."""
+    The state is the 3-D GRID ``[L, R, 128]`` (R row-padded to a multiple
+    of the streaming-apply tile) — exactly the shape the sampler's chunked
+    row gathers consume, so ``exp3_row`` is a free slice instead of the
+    whole-state relayout the old flat layout paid every call (2.1 ms at
+    Reddit scale, frontier.py:frontier_gather).  The per-step sparse
+    update streams the grid through a Pallas scatter-multiply kernel
+    (ops/exp3_pallas.py) — the XLA scatter this replaces needed the flat
+    1-D shape to go in place and still cost 15.1 ms/step inside the fused
+    program.  Slots beyond ``n_edges`` in each layer plane are ZEROS
+    (never sampled, never updated, invisible to the L1 normalization);
+    they cover the sampler's chunk-granular overreads (EDGE_PAD)."""
+    from bliss_gnn_tpu.ops.exp3_pallas import TILE_ROWS
     from bliss_gnn_tpu.sampling.frontier import EDGE_PAD
 
-    row = n_edges + EDGE_PAD
-    w = jnp.zeros((n_layers, row), dtype=dtype)
-    return w.at[:, :n_edges].set(1.0).reshape(-1)
+    raw_rows = -(-(n_edges + EDGE_PAD) // 128)
+    r = -(-raw_rows // TILE_ROWS) * TILE_ROWS
+    row = jnp.zeros((r * 128,), dtype=dtype).at[:n_edges].set(1.0)
+    return jnp.tile(row.reshape(1, r, 128), (n_layers, 1, 1))
 
 
 def exp3_row(exp3_weights: jax.Array, layer: int, n_layers: int) -> jax.Array:
-    """One layer's arm-weight row (a static slice of the flat state).
+    """One layer's arm-weight plane ([R, 128] grid — a free slice of the
+    3-D state; frontier_gather consumes it directly).
 
     Also accepts a sharded-state handle (parallel/shards.py ShardedExp3);
     the returned row is then an EShard serving the same values through the
-    distributed row gather."""
+    distributed row gather.  Legacy flat [L*row_len] states still slice."""
     if hasattr(exp3_weights, "layer_row"):  # edge-sharded storage
         return exp3_weights.layer_row(layer)
+    if exp3_weights.ndim == 3:
+        return exp3_weights[layer]
     row_len = exp3_weights.shape[0] // n_layers
     return jax.lax.slice(
         exp3_weights, (layer * row_len,), ((layer + 1) * row_len,)
     )
+
+
+def _edata_grid(graph, name: str):
+    """Pre-shaped [R, 128] upload-time copy of an edge-indexed array
+    ('__grid__*' keys, Graph.to_device) — lets frontier_gather skip the
+    per-call whole-array relayout (frontier.py:frontier_gather).  Absent
+    under sharded/UVA storage (EShard handles its own layout)."""
+    ed = getattr(graph, "edata", None)
+    if isinstance(ed, dict):
+        return ed.get(f"__grid__{name}")
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -159,9 +177,11 @@ def _exp3_edge_prob(
     Computed in f32 (the reference runs bf16; f32 is free on the VPU and
     strictly more accurate).
     """
-    ew = jnp.where(
-        frontier.e_mask, frontier_gather(frontier, exp3_row), 0
-    ).astype(jnp.float32)
+    if getattr(exp3_row, "ndim", 1) == 2:  # 3-D state: plane IS the grid
+        raw = frontier_gather(frontier, exp3_row.reshape(-1), grid=exp3_row)
+    else:
+        raw = frontier_gather(frontier, exp3_row)
+    ew = jnp.where(frontier.e_mask, raw, 0).astype(jnp.float32)
     sum_dst = frontier_segment_sum(frontier, ew, n_seed_cap)
     denom = frontier_seed_broadcast(frontier, sum_dst)
     w_hat = jnp.where(denom > 0, ew / jnp.where(denom > 0, denom, 1.0), 0.0)
@@ -440,6 +460,7 @@ def _sample_layer_ladies(
     frontier = gather_in_edges(
         graph.csc_indptr, graph.csc_src, seeds, seeds_mask,
         plan.frontier_caps[layer],
+        csc_src_grid=_edata_grid(graph, "csc_src"),
     )
     dense = (
         bool(plan.dense_cands[layer])
@@ -460,7 +481,8 @@ def _sample_layer_ladies(
     # alpha (bandit_sampler.py:144-147), carried into the block as e_alpha.
     w_static = jnp.where(
         frontier.e_mask,
-        frontier_gather(frontier, graph.edata["w"]).astype(jnp.float32),
+        frontier_gather(frontier, graph.edata["w"],
+                        grid=_edata_grid(graph, "w")).astype(jnp.float32),
         0.0,
     )
     if cfg.is_bandit:
@@ -553,6 +575,7 @@ def _sample_layer_neighbor(
     frontier = gather_in_edges(
         graph.csc_indptr, graph.csc_src, seeds, seeds_mask,
         plan.frontier_caps[layer],
+        csc_src_grid=_edata_grid(graph, "csc_src"),
     )
     if full:
         keep = frontier.e_mask
@@ -749,6 +772,7 @@ def apply_exp3_deltas(
     exp3_weights: jax.Array,
     deltas: Sequence[Tuple[jax.Array, jax.Array]],
     normalize: bool = True,
+    return_overflow: bool = False,
 ) -> jax.Array:
     """w[eid] *= exp(dr), then L1-normalize each row
     (bandit_sampler.py:248-249).  Scatter-multiply runs in the state dtype
@@ -773,16 +797,47 @@ def apply_exp3_deltas(
     ~27 ms, reshape-to-flat or 2-D indices 60-96 ms, all at Reddit's
     [3 x 115M] scale)."""
     L = len(deltas)
+    if exp3_weights.ndim == 3:
+        import jax as _jax
+
+        from bliss_gnn_tpu.ops import exp3_pallas
+
+        R = exp3_weights.shape[1]
+        span = R * 128
+        limit = L * span
+        # no-op slots (padding / zero reward) carry idx = limit: they sort
+        # to the tail of the streaming kernel's update list and are never
+        # applied.  unique_indices is NOT claimed: duplicate eids (the same
+        # edge updated by several data-parallel shards, or a repeated seed)
+        # compose multiplicatively — sequential in-tile application.
+        flat_idx = jnp.concatenate([
+            jnp.where(
+                dr.reshape(-1) != 0,
+                eid.reshape(-1).astype(jnp.int32) + jnp.int32(l * span),
+                jnp.int32(limit),
+            )
+            for l, (eid, dr) in enumerate(deltas)
+        ])
+        mult = jnp.concatenate([
+            jnp.exp(dr).reshape(-1).astype(jnp.float32) for _, dr in deltas
+        ])
+        n_over = jnp.zeros((), jnp.int32)
+        if _jax.default_backend() == "tpu" or exp3_pallas.INTERPRET:
+            out, n_over = exp3_pallas.exp3_apply_streaming(
+                exp3_weights, flat_idx, mult,
+                interpret=exp3_pallas.INTERPRET,
+            )
+        else:  # CPU/tests: the flat scatter (reshape is free off-TPU)
+            idx = jnp.minimum(flat_idx, limit - 1)  # limit-1 is padding
+            m = jnp.where(flat_idx == limit, 1.0, mult).astype(
+                exp3_weights.dtype)
+            out = exp3_weights.reshape(-1).at[idx].multiply(m).reshape(
+                exp3_weights.shape)
+        if normalize:
+            out = normalize_exp3_weights(out, L)
+        return (out, n_over) if return_overflow else out
+    # legacy flat state
     row_len = exp3_weights.shape[0] // L
-    # Slots with dr == 0 (padding, or zero reward) have multiplier exactly 1;
-    # remap them to the row's last EDGE_PAD slot (weight 0, never sampled) —
-    # this collapses the big pile of padded index-0 duplicates the scatter's
-    # combine pass would otherwise sort through.  unique_indices is NOT
-    # claimed: duplicate eids with real multipliers are legal (the same edge
-    # updated by several data-parallel shards, or a repeated seed) and must
-    # compose multiplicatively; the honest gain of the uniqueness promise
-    # was ~0.4 ms/step (scripts/probe_exp3_apply.py) — not worth an
-    # implementation-defined combine.
     flat_idx = jnp.concatenate([
         jnp.where(
             dr.reshape(-1) != 0,
@@ -798,7 +853,7 @@ def apply_exp3_deltas(
     out = exp3_weights.at[flat_idx].multiply(mult)
     if normalize:
         out = normalize_exp3_weights(out, L)
-    return out
+    return (out, jnp.zeros((), jnp.int32)) if return_overflow else out
 
 
 def normalize_exp3_weights(
@@ -808,6 +863,11 @@ def normalize_exp3_weights(
     half of apply_exp3_deltas(normalize=False).  Operates on the flat state
     (row sums via a 2-D view; fine here — this runs every
     ``exp3_renorm_every`` steps, not per step)."""
+    if exp3_weights.ndim == 3:
+        norm = jnp.sum(exp3_weights, axis=(1, 2), keepdims=True,
+                       dtype=jnp.float32)
+        inv = (1.0 / jnp.maximum(norm, 1e-12)).astype(exp3_weights.dtype)
+        return exp3_weights * inv
     row_len = exp3_weights.shape[0] // n_layers
     w2 = exp3_weights.reshape(n_layers, row_len)
     norm = jnp.sum(w2, axis=-1, keepdims=True, dtype=jnp.float32)

@@ -67,7 +67,11 @@ class StepStorage:
         ]
 
     def apply_deltas(self, exp3, deltas, normalize: bool):
-        return apply_exp3_deltas(exp3, deltas, normalize=normalize)
+        """Returns (exp3', n_overflow) — overflow counts updates the
+        streaming kernel skipped (ops/exp3_pallas.py; 0 on the exact
+        XLA/sharded paths), surfaced as the exp3_apply_overflow metric."""
+        return apply_exp3_deltas(exp3, deltas, normalize=normalize,
+                                 return_overflow=True)
 
 
 _DEFAULT_STORAGE = StepStorage()
@@ -322,15 +326,17 @@ def _make_step_fn(graph, model, tx, sampler_cfg, plan, multilabel,
                 graph, sampler_cfg, blocks, aux["embed_norms"], aux["a_ijs"]
             )
             deltas = storage.sync_deltas(deltas, dp_axis)
-            exp3 = storage.apply_deltas(
+            exp3, exp3_over = storage.apply_deltas(
                 state.exp3_weights, deltas, exp3_normalize
             )
         else:
             exp3 = state.exp3_weights
+            exp3_over = jnp.zeros((), jnp.int32)
         f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)
         metrics = {
             "train_loss": loss,
             "f1": f1,
+            "exp3_apply_overflow": exp3_over,
             **_block_count_metrics(blocks),
             # overflow counters + the measured sizes the capacity refit needs
             **{
@@ -441,7 +447,7 @@ def make_uva_steps(
                 graph, sampler_cfg, blocks, aux["embed_norms"], aux["a_ijs"]
             )
             deltas = storage.sync_deltas(deltas, dp_axis)
-            exp3 = storage.apply_deltas(state.exp3_weights, deltas, False)
+            exp3, _ = storage.apply_deltas(state.exp3_weights, deltas, False)
         else:
             exp3 = state.exp3_weights
         f1 = f1_update(F1State.zero(), logits, labels, dst_mask, multilabel)

@@ -38,7 +38,7 @@ n_edges = len(csc_src)
 log(f"graph ready: {N_NODES} nodes, {n_edges} edges")
 
 from bliss_gnn_tpu.graph.structure import DeviceGraph  # noqa: E402
-from bliss_gnn_tpu.sampling.frontier import EDGE_PAD  # noqa: E402
+from bliss_gnn_tpu.sampling.frontier import EDGE_PAD, edge_grid  # noqa: E402
 from bliss_gnn_tpu.sampling.block import CapacityPlan  # noqa: E402
 from bliss_gnn_tpu.sampling.samplers import (  # noqa: E402
     SamplerConfig,
@@ -73,7 +73,11 @@ graph = DeviceGraph(
         features=jax.random.normal(key, (N_NODES, N_FEATS), jnp.bfloat16),
         labels=jax.random.randint(key, (N_NODES,), 0, N_CLASSES),
     ),
-    edata=dict(w=jnp.asarray(pad_e(w), jnp.bfloat16)),
+    edata=dict(
+        w=jnp.asarray(pad_e(w), jnp.bfloat16),
+        __grid__csc_src=jnp.asarray(edge_grid(csc_src.astype(np.int32))),
+        __grid__w=jnp.asarray(edge_grid(w), jnp.bfloat16),
+    ),
 )
 jax.block_until_ready(graph.csc_src)
 log("graph on device")
@@ -234,7 +238,7 @@ ts = []
 for _ in range(3):
     t0 = time.perf_counter()
     e3 = f_e3(e3, blocks_t, graph)
-    float(e3[0])
+    float(e3.reshape(-1)[0])
     ts.append(time.perf_counter() - t0 - 0.033)
 log(f"exp3 update only (donated): {min(ts)*1e3:.1f} ms")
 

@@ -114,3 +114,43 @@ def test_compact_by_mask_jit(rng):
     idx, omask, n = f(mask)
     assert int(n) == 3
     np.testing.assert_array_equal(np.asarray(idx)[:3], [0, 2, 3])
+
+
+def test_frontier_gather_grid_path_matches_flat(rng):
+    """The pre-shaped [R, 128] grid copy (upload-time, '__grid__*') must
+    return identical values to the on-the-fly reshape, on a frontier whose
+    ck is exactly 128 (the production plans' value)."""
+    import jax.numpy as jnp
+
+    from bliss_gnn_tpu.sampling.frontier import (
+        EDGE_PAD,
+        edge_grid,
+        frontier_gather,
+        gather_in_edges,
+    )
+
+    n, e = 300, 60_000  # dense enough that e_cap/(2*n_seeds) >= 128
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = Graph(src, dst, n)
+    csc_src = jnp.asarray(
+        np.concatenate([g.csc_src, np.zeros(EDGE_PAD, g.csc_src.dtype)]),
+        jnp.int32)
+    seeds = jnp.asarray(rng.choice(n, 64, replace=False), jnp.int32)
+    smask = jnp.ones(64, bool)
+    fr = gather_in_edges(jnp.asarray(g.csc_indptr, jnp.int32), csc_src,
+                         seeds, smask, 1 << 15)
+    assert fr.ck == 128  # the grid fast path must actually engage
+    data = rng.normal(size=e + EDGE_PAD).astype(np.float32)
+    grid = jnp.asarray(edge_grid(data))
+    flat = jnp.asarray(data)
+    np.testing.assert_array_equal(
+        np.asarray(frontier_gather(fr, flat)),
+        np.asarray(frontier_gather(fr, flat, grid=grid)))
+    # and gather_in_edges with the csc_src grid reproduces src_gid
+    fr2 = gather_in_edges(jnp.asarray(g.csc_indptr, jnp.int32), csc_src,
+                          seeds, smask, 1 << 15,
+                          csc_src_grid=jnp.asarray(edge_grid(
+                              np.asarray(csc_src))))
+    np.testing.assert_array_equal(np.asarray(fr.src_gid),
+                                  np.asarray(fr2.src_gid))

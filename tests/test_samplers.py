@@ -224,7 +224,8 @@ def test_exp3_update_math(toy):
     b = blocks[0]
     emb = jnp.arange(b.n_src_cap, dtype=jnp.float32) + 1.0
     new = exp3_update(dg, cfg, exp3, blocks, [emb])
-    new = np.asarray(new, np.float64)[: g.n_edges]  # trim EDGE_PAD (flat state)
+    # layer plane of the [L, R, 128] grid state, padding trimmed
+    new = np.asarray(new, np.float64).reshape(1, -1)[0, : g.n_edges]
     # reference computation in numpy
     e_mask = np.asarray(b.e_mask)
     e_src = np.asarray(b.e_src)[e_mask]

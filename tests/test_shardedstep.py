@@ -131,7 +131,9 @@ def test_sharded_memory_is_partitioned():
     # sharded EXP3 per-device length ~ 1/S of the global flat state
     st = shard_exp3(exp3, cfg.n_layers, g.n_edges, S)
     assert st.shape == (S, cfg.n_layers * sg.epr + 1)
-    assert st.shape[1] * S < exp3.shape[0] + S * (cfg.n_layers * 256 + 1)
+    # ~1/S of the L*E edge weights each (the canonical [L, R, 128]
+    # grid's TILE_ROWS padding is NOT distributed)
+    assert st.shape[1] * S < cfg.n_layers * (g.n_edges + S * 256) + S
     # roundtrip is exact
     np.testing.assert_array_equal(
         np.asarray(unshard_exp3(st, cfg.n_layers, g.n_edges)),
