@@ -27,7 +27,7 @@ update :195-249) — see the per-function docstrings.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import NamedTuple, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -139,11 +139,24 @@ def exp3_row(exp3_weights: jax.Array, layer: int, n_layers: int) -> jax.Array:
     if hasattr(exp3_weights, "layer_row"):  # edge-sharded storage
         return exp3_weights.layer_row(layer)
     if exp3_weights.ndim == 3:
-        return exp3_weights[layer]
+        # a lazy (state, layer) view: XLA materializes a full-plane COPY
+        # for an eager state[layer] slice (2.09 ms/call at Reddit scale,
+        # trace op slice_bitcast_fusion); the consumer gathers from the
+        # merged [L*R, 128] grid with layer-offset row indices instead
+        return _Plane(exp3_weights, layer)
     row_len = exp3_weights.shape[0] // n_layers
     return jax.lax.slice(
         exp3_weights, (layer * row_len,), ((layer + 1) * row_len,)
     )
+
+
+class _Plane(NamedTuple):
+    """Lazy layer-plane view of the [L, R, 128] EXP3 grid state (see
+    exp3_row) — gathered slice-free via layer-offset rows of the merged
+    2-D grid."""
+
+    state: jax.Array  # [L, R, 128]
+    layer: int
 
 
 def _edata_grid(graph, name: str):
@@ -177,8 +190,16 @@ def _exp3_edge_prob(
     Computed in f32 (the reference runs bf16; f32 is free on the VPU and
     strictly more accurate).
     """
-    if getattr(exp3_row, "ndim", 1) == 2:  # 3-D state: plane IS the grid
-        raw = frontier_gather(frontier, exp3_row.reshape(-1), grid=exp3_row)
+    if isinstance(exp3_row, _Plane):
+        st = exp3_row.state
+        L_, R_ = st.shape[0], st.shape[1]
+        if frontier.ck == 128:
+            grid2 = st.reshape(L_ * R_, 128)  # leading-dim merge: a bitcast
+            raw = jnp.take(
+                grid2, frontier.chunk_gidx + exp3_row.layer * R_, axis=0
+            ).reshape(-1)
+        else:  # small-config fallback: eager plane + on-the-fly reshape
+            raw = frontier_gather(frontier, st[exp3_row.layer].reshape(-1))
     else:
         raw = frontier_gather(frontier, exp3_row)
     ew = jnp.where(frontier.e_mask, raw, 0).astype(jnp.float32)

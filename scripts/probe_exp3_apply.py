@@ -1,6 +1,12 @@
 """Probe EXP3 apply variants: does unique_indices (padded slots remapped to
 a dump index in the EDGE_PAD tail) speed the 1-D donated scatter-mul?
 
+HISTORICAL: probes the LEGACY flat-state XLA scatter path.  Production
+now stores the state as a [L, R, 128] grid and applies updates via the
+Pallas streaming kernel (ops/exp3_pallas.py; 15.1 -> 3.1 ms in-step) —
+apply_exp3_deltas keeps the flat path this script exercises for
+comparison.
+
 PYTHONPATH=.:/root/.axon_site python scripts/probe_exp3_apply.py
 """
 import time

@@ -274,6 +274,6 @@ ts = []
 for _ in range(3):
     t0 = time.perf_counter()
     e3b = f_a(e3b, dls)
-    float(e3b[0])
+    float(e3b.reshape(-1)[0])
     ts.append(time.perf_counter() - t0 - 0.033)
 log(f"exp3 apply only (donated): {min(ts)*1e3:.1f} ms")
