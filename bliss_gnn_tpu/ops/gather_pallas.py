@@ -85,6 +85,42 @@ def maybe_lut_gather_multi(luts, idx: jax.Array):
     return [maybe_lut_gather(l, idx) for l in luts]
 
 
+def _lut_gather_kernel_roll(et: int, unroll: int):
+    """Roll-variant: each copied row is lane-ROTATED so slot s's wanted
+    element lands at lane s%128; extraction is then a diagonal mask-reduce
+    of static [128, 128] sub-blocks.  This removes the [M, 1] index-column
+    operand of the base kernel — [M, 1] tiled T(8,128) is physically
+    ~128x padded and its production cost 2.9 ms/sample call at Reddit
+    scale (trace copy.11/copy.52) — and the in-kernel one-hot compare
+    with it."""
+
+    def kernel(idx_smem, lut_ref, out_ref, msgs_ref):
+        def body(i, _):
+            base = i * unroll
+            for j in range(unroll):
+                s = base + j
+                v = idx_smem[s]
+                row = lut_ref[pl.ds(v >> 7, 1), :]
+                # land lane (v & 127) at lane (s & 127)
+                msgs_ref[pl.ds(s, 1), :] = pltpu.roll(
+                    row, (s & 127) - (v & 127), 1
+                )
+            return 0
+
+        jax.lax.fori_loop(0, et // unroll, body, 0)
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        )
+        for r in range(et // 128):
+            blk = msgs_ref[r * 128 : (r + 1) * 128, :]
+            out_ref[r : r + 1, :] = jnp.sum(
+                jnp.where(eye, blk, 0), axis=0, keepdims=True
+            )
+
+    return kernel
+
+
 def _lut_gather_kernel(et: int, unroll: int, flat2d: bool = False):
     def kernel(idx_smem, idx_col, lut_ref, out_ref, msgs_ref):
         def body(i, _):
@@ -114,7 +150,8 @@ def _lut_gather_kernel(et: int, unroll: int, flat2d: bool = False):
 
 @partial(
     jax.jit,
-    static_argnames=("interpret", "et", "unroll", "elem_dtype", "flat2d"),
+    static_argnames=("interpret", "et", "unroll", "elem_dtype", "flat2d",
+                     "roll"),
 )
 def lut_gather(
     lut: jax.Array,  # [N] f32 or int32 lookup table
@@ -124,6 +161,7 @@ def lut_gather(
     unroll: int = 32,
     elem_dtype=jnp.float32,
     flat2d: bool = False,
+    roll: bool = False,
 ) -> jax.Array:
     """out[i] = lut[idx[i]] in ``elem_dtype`` (f32 or int32 — int32 is
     exact).  M is padded to a tile multiple internally; indices must be
@@ -140,6 +178,25 @@ def lut_gather(
     idx_p = jnp.zeros(mp, jnp.int32).at[:m].set(idx.astype(jnp.int32))
     n_tiles = mp // et
     unroll = math.gcd(unroll, et)
+    if roll:
+        out = pl.pallas_call(
+            _lut_gather_kernel_roll(et, unroll),
+            out_shape=jax.ShapeDtypeStruct((mp // 128, 128), elem_dtype),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((et,), lambda i: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # whole LUT
+            ],
+            out_specs=pl.BlockSpec((et // 128, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((et, 128), elem_dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(idx_p, lut2d)
+        return out.reshape(-1)[:m]
     kernel = _lut_gather_kernel(et, unroll, flat2d)
     if flat2d:
         out_shape = jax.ShapeDtypeStruct((mp // 128, 128), elem_dtype)

@@ -400,7 +400,15 @@ def compact_by_mask(mask: jax.Array, out_cap: int):
     r_j = jnp.clip(jax.lax.cummax(own0), 0, n_rows - 1)
     t = jnp.arange(out_cap, dtype=jnp.int32) - jnp.take(bases, r_j)
     keeprow = jnp.take(rows, r_j, axis=0)  # [out_cap, 128]
-    prefix = jnp.cumsum(keeprow.astype(jnp.int32), axis=1)
+    # lane-axis prefix count via ONE MXU contraction with an upper-
+    # triangular ones matrix — XLA lowers jnp.cumsum(axis=1) to a
+    # reduce-window that cost 3.1 ms on the 125k-row refit compact
+    # (trace reduce-window.17); counts <= 128 are exact in bf16
+    triu = jnp.triu(jnp.ones((128, 128), jnp.bfloat16))
+    prefix = jnp.dot(
+        keeprow.astype(jnp.bfloat16), triu,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
     # the (t+1)-th set lane of the source row
     lane = jnp.argmax(
         (prefix == (t[:, None] + 1)) & keeprow, axis=1

@@ -55,3 +55,20 @@ def test_lut_gather_flat2d_matches_column():
                    flat2d=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(b), lut[idx])
+
+
+def test_lut_gather_roll_variant(rng):
+    """Roll-based kernel (per-slot lane rotation + diagonal extract) equals
+    the one-hot kernel and jnp.take — f32 and exact int32."""
+    from bliss_gnn_tpu.ops.gather_pallas import lut_gather
+
+    n, m = 5000, 4096 + 77
+    lut_f = rng.normal(size=n).astype(np.float32)
+    lut_i = rng.integers(-(2**30), 2**30, n).astype(np.int32)
+    idx = rng.integers(0, n, m).astype(np.int32)
+    for lut, dt in ((lut_f, jnp.float32), (lut_i, jnp.int32)):
+        want = np.asarray(lut)[idx]
+        got = np.asarray(lut_gather(
+            jnp.asarray(lut), jnp.asarray(idx), interpret=True,
+            elem_dtype=dt, roll=True))
+        np.testing.assert_array_equal(got, want)
