@@ -60,7 +60,63 @@ def masked_segment_sum(
     out = maybe_banked_scatter_add(ids, data, num_segments)
     if out is not None:
         return out.astype(data.dtype)
+    out = _maybe_onehot_segment_sum(data, ids, num_segments)
+    if out is not None:
+        return out
     return jax.ops.segment_sum(data, ids, num_segments=num_segments)
+
+
+# one-hot MXU segment-sum thresholds: the scatter-add it replaces runs
+# ~17 ns/edge on a [125k, 256] block aggregation (trace fusion.115) where
+# the scanned contraction is MXU-bound at < 4 ns/edge; below the size
+# floor the scan overhead loses, above the height cap the one-hot build
+# dominates
+_OH_MIN_EDGES = 1 << 15
+_OH_MAX_SEGMENTS = 8192
+_OH_TILE = 2048
+ONEHOT_SEGMENT_INTERPRET = False  # test hook
+
+
+def _maybe_onehot_segment_sum(data, ids, num_segments):
+    """Feature-matrix segment-sum as a lax.scan of one-hot MXU
+    contractions: per 2048-edge tile, onehot[n_seg, et] @ msg[et, F] in
+    bf16 with f32 accumulation (strictly better precision than XLA's
+    elementwise bf16 scatter-adds).  The sampled-block aggregation
+    (u_mul_e_sum over ~125k edges x 256 features into ~1-4k dst slots at
+    the Reddit refit caps) is the target; returns None when the shape is
+    out of profile and the caller falls back to XLA."""
+    use = (
+        (jax.default_backend() == "tpu" or ONEHOT_SEGMENT_INTERPRET)
+        and data.ndim == 2
+        # bf16 only: f32 payloads would LOSE precision through the bf16
+        # one-hot contraction vs XLA's f32 scatter-add
+        and data.dtype == jnp.bfloat16
+        and data.shape[0] >= _OH_MIN_EDGES
+        and num_segments <= _OH_MAX_SEGMENTS
+    )
+    if not use:
+        return None
+    e, f = data.shape
+    et = _OH_TILE
+    ep = ((e + et - 1) // et) * et
+    if ep != e:
+        data = jnp.pad(data, ((0, ep - e), (0, 0)))
+        # padded slots scatter 0 into segment 0
+        ids = jnp.pad(ids, (0, ep - e))
+    msg3 = data.reshape(-1, et, f).astype(jnp.bfloat16)
+    ids2 = ids.reshape(-1, et)
+    seg_iota = jnp.arange(num_segments, dtype=ids.dtype)
+
+    def body(acc, xs):
+        ids_t, msg_t = xs
+        oh = (seg_iota[:, None] == ids_t[None, :]).astype(jnp.bfloat16)
+        return acc + jnp.dot(
+            oh, msg_t, preferred_element_type=jnp.float32
+        ), None
+
+    acc0 = jnp.zeros((num_segments, f), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (ids2, msg3))
+    return acc.astype(data.dtype)
 
 
 def masked_segment_max(

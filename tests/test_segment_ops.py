@@ -93,3 +93,27 @@ def test_segment_count(rng):
     np.testing.assert_array_equal(
         np.asarray(out), np.bincount(e_dst[mask], minlength=6)
     )
+
+
+def test_onehot_segment_sum_matches_scatter(rng):
+    import jax
+    """The MXU one-hot route (bf16 payload, f32 accumulation) equals the
+    XLA scatter within bf16 tolerance on a block-aggregation shape."""
+    from bliss_gnn_tpu.ops import segment as S
+
+    e, f, n = 1 << 15, 64, 96
+    data = jnp.asarray(rng.normal(size=(e, f)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    mask = jnp.asarray(rng.random(e) < 0.9)
+    want = np.asarray(jax.ops.segment_sum(
+        jnp.where(mask[:, None], data, 0).astype(np.float32),
+        jnp.where(mask, ids, 0), num_segments=n))
+    old = S.ONEHOT_SEGMENT_INTERPRET
+    S.ONEHOT_SEGMENT_INTERPRET = True
+    try:
+        got = np.asarray(
+            S.masked_segment_sum(data, ids, n, mask).astype(np.float32))
+    finally:
+        S.ONEHOT_SEGMENT_INTERPRET = old
+    # bf16 message rounding only (accumulation is f32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-1)
