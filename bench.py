@@ -503,6 +503,15 @@ def _bench_time_to_val_f1(target: float = 0.90, max_chains: int = 25):
     # the pilot chain's cost = measured per-chain train time, pro-rated
     if steps > K:
         train_s += train_s / (steps / K - 1)
+    elif reached:
+        # reached at the pilot chain: no measured chain to pro-rate from —
+        # time one extra post-compile chain to estimate the pilot's cost
+        # (0.0 would misreport K real train steps as free)
+        s, m = chain_batch()
+        t0 = time.perf_counter()
+        _, mstack = multi(state, s, m, dg)
+        jax.block_until_ready(mstack["train_loss"])
+        train_s = time.perf_counter() - t0
     _log(f"ttvf1: {train_s:.2f} s / {steps} steps (val_f1 {f1:.3f})")
     # unreached target must not masquerade as a fast time (null in the JSON)
     return {

@@ -132,8 +132,11 @@ def synthetic_graph(
         ridx = np.flatnonzero(rewire)
         cls = labels_int[dst[ridx]]
         pick = rng.integers(0, 1 << 62, size=len(ridx))
+        # a dst's own class is always non-empty (it contains dst), but
+        # guard anyway so an empty class can never divide by zero
         src[ridx] = np.array(
-            [by_class[c][p % len(by_class[c])] for c, p in zip(cls, pick)],
+            [by_class[c][p % len(by_class[c])] if len(by_class[c]) else s
+             for c, p, s in zip(cls, pick, src[ridx])],
             dtype=src.dtype,
         )
     protos = rng.normal(size=(n_classes, n_feats)).astype(np.float32)

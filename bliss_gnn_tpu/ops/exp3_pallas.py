@@ -138,9 +138,11 @@ def exp3_apply_streaming(
     end_clip = jnp.minimum(end, base + N_UBLKS * C)
     n_over = jnp.sum(end - end_clip)
 
-    # pad the streams to full C-blocks (block index start//C + N_UBLKS - 1
-    # may read past the data)
-    u_pad = ((U + C - 1) // C + N_UBLKS - 1) * C
+    # pad the streams to full C-blocks: a run can start exactly at
+    # position U (no sentinel slots), so block index start//C + N_UBLKS - 1
+    # can reach U//C + N_UBLKS - 1 — pad unconditionally to N_UBLKS blocks
+    # past U//C (ceil-based padding was one block short when U % C == 0)
+    u_pad = (U // C + N_UBLKS) * C
     s_idx_p = jnp.full((u_pad,), limit, jnp.int32).at[:U].set(s_idx)
     s_mult_p = jnp.ones((u_pad,), jnp.float32).at[:U].set(s_mult)
 

@@ -19,6 +19,7 @@ import dataclasses
 import math
 import os
 import time
+import warnings
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -388,6 +389,7 @@ class Trainer:
         self._refit_max: Dict[str, float] = {}
         self._overflow_after_refit = False
         self._frontier_overflow_after_refit = False
+        self._exp3_over_warned = False
         self.tx = make_optimizer(
             cfg.lr, self.steps_per_epoch, cfg.lr_gamma, cfg.lr_step_size
         )
@@ -714,6 +716,20 @@ class Trainer:
         for k, v in metrics.items():
             if "overflow" in k and float(v) > 0:
                 scalars[k] = float(v)
+                if k == "exp3_apply_overflow" and not self._exp3_over_warned:
+                    # the streaming EXP3 kernel SKIPPED updates (a tile run
+                    # longer than its SMEM window) — bandit training is
+                    # silently degraded vs the exact XLA/sharded paths
+                    warnings.warn(
+                        f"exp3_apply_overflow={float(v):.0f} at step "
+                        f"{self.global_step}: streaming EXP3 apply skipped "
+                        "updates; bandit state diverges from the exact "
+                        "multiplicative update (raise ops.exp3_pallas.UBLK "
+                        "or lower per-layer edge capacity)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    self._exp3_over_warned = True
                 # widen only for caps widen() can actually grow — extra
                 # overflow is a Poisson-count fluctuation, not refit-caused
                 if self._refit_done and (
