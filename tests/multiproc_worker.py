@@ -1,0 +1,136 @@
+"""Worker process for the REAL multi-process ``jax.distributed`` test.
+
+Launched by tests/test_cli_and_multihost.py::test_multiprocess_distributed_dp
+as N independent OS processes, each owning 2 virtual CPU devices (the
+standard way to exercise the multi-host code path — coordinator handshake,
+global mesh assembly, cross-process collectives, per-process batch slicing —
+without a TPU pod; SURVEY.md §5.8).
+
+Every process runs the IDENTICAL workload off a shared host RNG seed: the
+DP fused train step (parallel/dp.py) over the global mesh, fed through
+``multihost.global_seed_batch`` (the host_local_array_to_global_array
+recipe — each process contributes only its own slice of the global batch).
+Process 0 writes the replicated results as JSON; the parent compares them
+against a single-process run of the same workload on the same number of
+devices — asserting gradient/EXP3/metric consistency across process counts.
+
+Usage: python multiproc_worker.py <process_id> <num_processes> <port> <out>
+(env JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=2
+set by the parent).
+"""
+import json
+import sys
+
+
+def run_workload():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from bliss_gnn_tpu.graph.datasets import load_dataset
+    from bliss_gnn_tpu.graph.structure import Graph, normalized_edata
+    from bliss_gnn_tpu.models.gnn import build_model
+    from bliss_gnn_tpu.parallel import multihost
+    from bliss_gnn_tpu.parallel.dp import make_dp_train_step
+    from bliss_gnn_tpu.sampling.block import CapacityPlan
+    from bliss_gnn_tpu.sampling.samplers import (
+        SamplerConfig,
+        init_exp3_weights,
+        sample_blocks,
+    )
+    from bliss_gnn_tpu.train.steps import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    mesh = multihost.global_mesh(("dp",))
+    n_dev = mesh.devices.size
+    global_batch = 32
+    local_batch = global_batch // n_dev
+
+    g, n_classes, ml = load_dataset("synth-small")
+    g = Graph.canonicalize(g)
+    g.edata["w"] = normalized_edata(g)
+    dg = g.to_device()
+
+    cfg = SamplerConfig(kind="poisson-bandit", fanouts=(16, 8))
+    plan = CapacityPlan.build(local_batch, cfg.fanouts, g.n_nodes, g.n_edges,
+                              kind=cfg.kind)
+    model = build_model("sage", 16, n_classes, 2)
+    exp3 = init_exp3_weights(2, g.n_edges)
+
+    # params init off a single-device sample (identical on every process)
+    rng = np.random.default_rng(0)
+    train_ids = np.where(g.ndata["train_mask"])[0]
+    seeds0 = jnp.asarray(rng.choice(train_ids, local_batch), jnp.int32)
+    blocks, _ = jax.jit(
+        lambda k, gr, s, e: sample_blocks(
+            gr, cfg, plan, k, s, jnp.ones(local_batch, bool), e)
+    )(jax.random.PRNGKey(0), dg, seeds0, exp3)
+    x = jnp.take(dg.ndata["features"], blocks[0].src_gids, axis=0)
+    params = model.init(jax.random.PRNGKey(1), blocks, x)
+    tx = make_optimizer(1e-2, 100)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       exp3_weights=exp3, key=jax.random.PRNGKey(2),
+                       step=jnp.zeros((), jnp.int32))
+
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(state, repl)
+    dg = jax.device_put(dg, repl)
+
+    step = make_dp_train_step(mesh, dg, model, tx, cfg, plan, ml)
+    losses = []
+    for i in range(3):
+        seeds = rng.choice(train_ids, global_batch).astype(np.int32)
+        mask = np.ones(global_batch, bool)
+        gs = multihost.global_seed_batch(mesh, seeds)
+        gm = multihost.global_seed_batch(mesh, mask)
+        state, metrics = step(state, gs, gm, dg)
+        losses.append(float(metrics["train_loss"].addressable_data(0)))
+
+    def _sum(tree):
+        return float(sum(
+            jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+            for leaf in jax.tree.leaves(tree)
+        ))
+
+    state = jax.device_get(
+        jax.tree.map(lambda a: a.addressable_data(0), state))
+    return {
+        "n_devices": int(n_dev),
+        "losses": losses,
+        "param_l1": _sum(state.params),
+        "exp3_sum": float(jnp.sum(
+            jnp.asarray(state.exp3_weights, jnp.float32))),
+        "step": int(state.step),
+    }
+
+
+def main():
+    pid, nproc, port, out = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    from bliss_gnn_tpu.parallel import multihost
+
+    if nproc > 1:
+        assert multihost.initialize(f"localhost:{port}", nproc, pid) is True
+        import jax
+
+        assert jax.process_count() == nproc
+        assert jax.process_index() == pid
+        # local_batch_slice correctness: this process owns the pid-th
+        # contiguous chunk of the global batch
+        sl = multihost.local_batch_slice(32)
+        per = 32 // nproc
+        assert (sl.start, sl.stop) == (pid * per, (pid + 1) * per)
+    result = run_workload()
+    if pid == 0:
+        with open(out, "w") as f:
+            json.dump(result, f)
+
+
+if __name__ == "__main__":
+    main()
