@@ -204,8 +204,10 @@ def config_from_args(args) -> "TrainConfig":
 
 
 def reduce_runs(logdir: str, run_name: str, k: int):
-    """k-runs mean/std reduction to CSV (the tensorboard_reducer step,
-    train_lightning.py:711-733)."""
+    """k-runs mean/std reduction (the tensorboard_reducer step,
+    train_lightning.py:711-733): CSV plus mean/std TensorBoard EVENT
+    streams (`<logdir>_reduced/<run>_<k>-{mean,std}/`), matching the
+    reference's `tb-reduction-{mean,std}` output dirs (:717-725)."""
     base = os.path.join(logdir, run_name)
     version_dirs = sorted(
         glob.glob(os.path.join(base, "version_*")),
@@ -233,6 +235,18 @@ def reduce_runs(logdir: str, run_name: str, k: int):
                     float(np.std(vals)), len(vals),
                 ])
     print(f"Wrote reduction to {out_path}")
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:
+        return
+    for op, fn in (("mean", np.mean), ("std", np.std)):
+        d = os.path.join(out_dir, f"{run_name}_{len(version_dirs)}-{op}")
+        tb = SummaryWriter(log_dir=d)
+        for name, steps in sorted(series.items()):
+            for step, vals in sorted(steps.items()):
+                tb.add_scalar(name, float(fn(vals)), step)
+        tb.close()
+        print(f"Wrote {op} TB events to {d}")
 
 
 def main(argv=None):

@@ -358,14 +358,66 @@ class Trainer:
                 lambda w: normalize_exp3_weights(w, cfg.num_layers),
                 donate_argnums=0,
             )
+        # persist the resolved config + capacity plan into the run dir
+        # (hparams.yaml analog — Lightning save_hyperparameters,
+        # train_lightning.py:63; re-written whenever the plan changes so a
+        # version_* dir is always self-describing)
+        self._save_hparams()
         if cfg.resume:
             # restart-from-step (SURVEY.md §5.3): restore the full state
             # pytree (params, opt_state, EXP3 arm weights, PRNG key, step)
             # and continue counting from the checkpointed step
+            self._check_resume_hparams(cfg.resume)
             self.load_checkpoint(cfg.resume)
             self.global_step = int(self.state.step)
             print(f"[resume] restored step {self.global_step} from "
                   f"{cfg.resume}")
+
+    # -- hyperparameter persistence --------------------------------------
+    def _save_hparams(self):
+        """Write the resolved TrainConfig + current CapacityPlan as JSON
+        into the run dir (reference: Lightning's save_hyperparameters ->
+        hparams.yaml, train_lightning.py:63).  Called at init and after
+        every plan rebuild (refit/widen/batch resize)."""
+        import json
+
+        if not hasattr(self, "run_dir"):
+            return  # plan rebuilt before logging exists (init ordering)
+        payload = {
+            "config": dataclasses.asdict(self.cfg),
+            "capacity_plan": dataclasses.asdict(self.plan),
+            "batch_size": self.batch_size,
+            "dp": self.dp,
+            "n_classes": self.n_classes,
+            "multilabel": bool(self.multilabel),
+        }
+        with open(os.path.join(self.run_dir, "hparams.json"), "w") as f:
+            json.dump(payload, f, indent=1, default=str)
+
+    def _check_resume_hparams(self, ckpt_path: str):
+        """Load-and-compare the persisted config of the run being resumed;
+        mismatched keys are warned about, not fatal (resuming with e.g. a
+        larger --num-steps is legitimate)."""
+        import json
+
+        run_dir = os.path.dirname(os.path.dirname(os.path.abspath(ckpt_path)))
+        path = os.path.join(run_dir, "hparams.json")
+        if not os.path.exists(path):
+            return
+        saved = json.load(open(path)).get("config", {})
+        cur = json.loads(
+            json.dumps(dataclasses.asdict(self.cfg), default=str)
+        )
+        diffs = {
+            k: (saved[k], cur[k])
+            for k in saved
+            if k in cur and saved[k] != cur[k] and k not in ("resume", "logdir")
+        }
+        if diffs:
+            warnings.warn(
+                f"[resume] config differs from the checkpointed run's "
+                f"hparams.json: {diffs}", RuntimeWarning, stacklevel=2,
+            )
 
     # -- static-shape (re)build -----------------------------------------
     def _build_for_batch_size(self, batch_size: int, init_state: bool):
@@ -425,6 +477,7 @@ class Trainer:
         """(Re-)jit the step functions for the current ``self.plan`` —
         called at build time and again after a capacity refit/widen."""
         cfg = self.cfg
+        self._save_hparams()  # keep the run dir's plan record current
         if self.feature_cache is not None:
             from bliss_gnn_tpu.train.steps import make_uva_steps
 

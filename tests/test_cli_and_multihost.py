@@ -36,6 +36,10 @@ def test_reduce_runs_mean_std(tmp_path):
     assert int(r1["n"]) == 2
     r2 = rows[("train_loss", 2)]
     assert float(r2["mean"]) == 2.0
+    # mean/std TB event streams alongside the CSV (train_lightning.py:717)
+    for op in ("mean", "std"):
+        d = os.path.join(f"{tmp_path}_reduced", f"runX_2-{op}")
+        assert os.path.isdir(d) and len(os.listdir(d)) > 0
 
 
 def test_cli_full_flag_surface_parses():

@@ -103,6 +103,57 @@ def test_training_gcn_with_ladies(tmp_path):
     assert res["Train"] > 0.5, res
 
 
+def test_multilabel_yelp_config_end_to_end(tmp_path):
+    """Yelp-flagship-config semantics end-to-end (reference README.md:30,
+    multilabel float labels load_graph.py:73-76, BCEWithLogits
+    train_lightning.py:77-79): a multilabel synthetic graph through
+    Trainer -> BCE loss, multilabel micro-F1 validation, final eval."""
+    g, nc, ml = synthetic_graph(400, 3000, 16, 4, seed=5, multilabel=True)
+    assert ml and g.ndata["labels"].ndim == 2
+    g = Graph.canonicalize(g)
+    g.edata["w"] = normalized_edata(g)
+    cfg = TrainConfig(
+        dataset="synth-yelp-test", model="sage", sampler="poisson-bandit",
+        fan_out=(32, 16), batch_size=32, num_hidden=32, num_layers=2,
+        lr=0.01, num_epochs=6, logdir=str(tmp_path), lr_step_size=100,
+        disable_checkpoint=True,
+    )
+    tr = Trainer(cfg, graph=g, n_classes=nc, multilabel=ml)
+    tr.fit()
+    assert tr.multilabel
+    res = tr.final_eval()
+    # label model: the class prototype label + one uniformly-random extra
+    # (synthetic_graph) — the extra is unlearnable, so predicting the
+    # primary alone caps micro-F1 at 2/(2+0.75) ~ 0.727; all-ones or
+    # primary-agnostic strategies sit at ~2/3.  Require clearly above the
+    # degenerate strategies and near the ceiling on train.
+    assert res["Train"] > 0.68, res
+    assert res["Test"] > 0.5, res
+    assert np.isfinite(tr.best_val_acc)
+
+
+def test_hparams_persisted_and_refit_updates(tmp_path):
+    """Every version_* dir self-describes: hparams.json carries the resolved
+    TrainConfig + CapacityPlan, re-written when the refit changes the plan
+    (reference: Lightning save_hyperparameters, train_lightning.py:63)."""
+    import json
+    import os
+
+    tr = _mk(tmp_path, refit_after=2, num_epochs=3)
+    path = os.path.join(tr.run_dir, "hparams.json")
+    assert os.path.exists(path)
+    before = json.load(open(path))
+    assert before["config"]["sampler"] == "poisson-bandit"
+    assert before["config"]["fan_out"] == [32, 16]
+    assert tuple(before["capacity_plan"]["block_e_caps"]) == tr.plan.block_e_caps
+    tr.fit()
+    assert tr._refit_done
+    after = json.load(open(path))
+    # the persisted plan tracks the refit-tightened live plan
+    assert tuple(after["capacity_plan"]["block_e_caps"]) == tr.plan.block_e_caps
+    assert after["capacity_plan"] != before["capacity_plan"]
+
+
 def test_resume_from_checkpoint(tmp_path):
     """--resume restores the full state (incl. EXP3 weights and step) and
     training continues from the checkpointed step (SURVEY.md §5.3 —
@@ -134,7 +185,10 @@ def test_resume_from_checkpoint(tmp_path):
         lr=0.01, num_epochs=4, logdir=str(tmp_path), lr_step_size=100,
         disable_checkpoint=True, resume=ckpt,
     )
-    tr2 = Trainer(cfg, graph=g, n_classes=nc, multilabel=ml)
+    # num_epochs differs from the checkpointed run -> the hparams
+    # load-and-compare surfaces it as a warning
+    with pytest.warns(RuntimeWarning, match="hparams"):
+        tr2 = Trainer(cfg, graph=g, n_classes=nc, multilabel=ml)
     assert tr2.global_step == saved_step
     np.testing.assert_array_equal(
         np.asarray(tr2.state.exp3_weights, np.float32),
