@@ -620,8 +620,17 @@ def spmm_via_pallas(
 #     cancels the gain (scripts/probe_packed.py) — packing only pays at
 #     F <= 256, which is why the flagship's hidden layers (lin_before
 #     projects to 256 first) route to the packed kernel at 343 M edges/s.
-# Beating this floor needs a different edge order (e.g. src-sorted
-# buckets enabling multi-row copies), not tile tuning.
+# The one layout family this budget left untried — src-sorted buckets
+# where equal-src runs share one (k, F) broadcast copy — was measured and
+# REJECTED (scripts/probe_src_runs.py, full 68.9M-edge population of the
+# production layout): the gather remainder has only 1.063 edges per
+# equal-src run, because the dense extraction already removed exactly the
+# high-occupancy (window, sub-band) blocks where src repeats concentrate.
+# Even at ZERO marginal cost for the extra rows of a run, the copy term
+# floor is 5 * runs/edges = 4.70 cy (<= 6%; ~3% end-to-end, ~178 M
+# edges/s) — far under the 0.6-SoL bar, so no kernel was built.  With
+# every named lever probed, 0.505 of the stream-SoL model stands as the
+# measured floor of the copy-issue-bound regime at F = 602.
 
 
 @dataclasses.dataclass(frozen=True)
