@@ -173,8 +173,93 @@ def synthetic_graph(
 
 
 # ---------------------------------------------------------------------------
-# On-disk loaders (standard public formats; no downloads in this environment)
+# On-disk loaders (standard public formats) + guarded auto-download
 # ---------------------------------------------------------------------------
+
+# canonical public sources (the same hosts dgl.data / ogb fetch from —
+# reference: load_graph.py:11-22 downloads via dgl.data, :32 via ogb)
+_PLANETOID_URL = "https://github.com/kimiyoung/planetoid/raw/master/data"
+_PLANETOID_SUFFIXES = ("x", "y", "tx", "ty", "allx", "ally", "graph",
+                       "test.index")
+_DGL_DATA_URL = "https://data.dgl.ai/dataset"
+_OGB_URL = "http://snap.stanford.edu/ogb/data/nodeproppred"
+# zip -> extracted dir -> final dir expected by _load_ogb
+_OGB_ZIPS = {
+    "ogbn-arxiv": ("arxiv.zip", "arxiv", "ogbn_arxiv"),
+    "ogbn-products": ("products.zip", "products", "ogbn_products"),
+    "ogbn-papers100m": ("papers100M-bin.zip", "papers100M-bin",
+                        "ogbn_papers100M"),
+}
+
+
+def download_allowed() -> bool:
+    """Downloads are opt-in: --download / BLISS_ALLOW_DOWNLOAD=1 (this
+    build environment has no egress, so the default must never fetch)."""
+    return os.environ.get("BLISS_ALLOW_DOWNLOAD", "0") == "1"
+
+
+def _fetch(url: str, dest: str):
+    """Stream one URL to dest (bounded memory, atomic rename)."""
+    import shutil
+    import urllib.request
+
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = dest + ".part"
+    with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+        shutil.copyfileobj(r, f, length=1 << 22)
+    os.replace(tmp, dest)
+
+
+def download_dataset(name: str, root: str | None = None) -> str:
+    """Fetch the raw files for ``name`` into the data root from the same
+    public sources the reference's loaders use (dgl.data for
+    cora/.../reddit/yelp/flickr, load_graph.py:11-22; OGB snapshots,
+    :32).  Returns the dataset directory.  Idempotent — existing files
+    are kept.  Caller gates on ``download_allowed()``."""
+    import zipfile
+
+    root = root or DATA_ROOT
+    name = name.lower()
+    if name in ("cora", "citeseer", "pubmed"):
+        d = os.path.join(root, name)
+        for suf in _PLANETOID_SUFFIXES:
+            dest = os.path.join(d, f"ind.{name}.{suf}")
+            if not os.path.exists(dest):
+                _fetch(f"{_PLANETOID_URL}/ind.{name}.{suf}", dest)
+        return d
+    if name in ("reddit", "yelp", "flickr"):
+        d = os.path.join(root, name)
+        zpath = os.path.join(d, f"{name}.zip")
+        probe = (
+            "reddit_data.npz" if name == "reddit" else "adj_full.npz"
+        )
+        if not os.path.exists(os.path.join(d, probe)):
+            if not os.path.exists(zpath):
+                _fetch(f"{_DGL_DATA_URL}/{name}.zip", zpath)
+            with zipfile.ZipFile(zpath) as zf:
+                zf.extractall(d)
+            # some archives nest a single top-level dir — flatten it
+            inner = os.path.join(d, name)
+            if os.path.isdir(inner) and not os.path.exists(
+                os.path.join(d, probe)
+            ):
+                for f in os.listdir(inner):
+                    os.replace(os.path.join(inner, f), os.path.join(d, f))
+        return d
+    if name in _OGB_ZIPS:
+        zname, extracted, final = _OGB_ZIPS[name]
+        d = os.path.join(root, final)
+        if not os.path.exists(os.path.join(d, "raw")):
+            zpath = os.path.join(root, zname)
+            if not os.path.exists(zpath):
+                _fetch(f"{_OGB_URL}/{zname}", zpath)
+            with zipfile.ZipFile(zpath) as zf:
+                zf.extractall(root)
+            src = os.path.join(root, extracted)
+            if src != d and os.path.isdir(src):
+                os.replace(src, d)
+        return d
+    raise ValueError(f"no download source known for dataset '{name}'")
 
 
 def _planetoid_dir(name: str) -> str:
@@ -515,8 +600,13 @@ def load_dataset(name: str, seed: int = 0) -> Tuple[Graph, int, bool]:
             return synthetic_graph(n, e, f, c, multilabel=ml, seed=seed)
         raise ValueError(f"unknown synthetic dataset '{name}'")
     if name in ("cora", "citeseer", "pubmed"):
+        _maybe_download(name, lambda: _planetoid_dir(name))
         return _load_planetoid(name)
     if name in ("reddit", "yelp", "flickr"):
+        _maybe_download(
+            name,
+            lambda: _saint_or_reddit_present(name) or _raise_missing(name),
+        )
         if name == "reddit" and not os.path.exists(
             os.path.join(DATA_ROOT, name, "adj_full.npz")
         ) and os.path.exists(
@@ -525,5 +615,38 @@ def load_dataset(name: str, seed: int = 0) -> Tuple[Graph, int, bool]:
             return _load_reddit_dgl(os.path.join(DATA_ROOT, name))
         return _load_saint_npz(name)
     if name.startswith("ogbn-"):
+        _maybe_download(
+            name,
+            lambda: os.path.exists(
+                os.path.join(DATA_ROOT, _OGB_ZIPS[name][2], "raw")
+            ) or _raise_missing(name),
+        )
         return _load_ogb(name)
     raise ValueError(f"unknown dataset '{name}'")
+
+
+def _saint_or_reddit_present(name: str) -> bool:
+    d = os.path.join(DATA_ROOT, name)
+    return os.path.exists(os.path.join(d, "adj_full.npz")) or (
+        name == "reddit"
+        and os.path.exists(os.path.join(d, "reddit_data.npz"))
+    )
+
+
+def _raise_missing(name: str):
+    raise FileNotFoundError(name)
+
+
+def _maybe_download(name: str, present) -> None:
+    """Fetch raw files on first use when downloads are enabled (guarded —
+    the reference auto-downloads unconditionally via dgl.data/ogb,
+    load_graph.py:11-22,32; this environment has no egress, so the
+    default is off; enable with BLISS_ALLOW_DOWNLOAD=1 / --download)."""
+    if not download_allowed():
+        return
+    try:
+        present()
+        return  # already on disk
+    except FileNotFoundError:
+        pass
+    download_dataset(name)

@@ -126,9 +126,13 @@ def exp3_apply_streaming(
     U = flat_idx.shape[0]
     C = ublk
 
+    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
+
     order = jnp.argsort(flat_idx)
-    s_idx = jnp.take(flat_idx, order)
-    s_mult = jnp.take(mult, order).astype(jnp.float32)
+    # permutation takes ride the LUT gather (2.5 vs 6.6 ns/elem XLA —
+    # trace fusion.42/43, ~2 ms/step at the Reddit concat size)
+    s_idx = maybe_lut_gather(flat_idx, order)
+    s_mult = maybe_lut_gather(mult, order).astype(jnp.float32)
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * (TILE_ROWS * 128)
     pos = jnp.searchsorted(s_idx, bounds, side="left").astype(jnp.int32)
     start, end = pos[:-1], pos[1:]

@@ -39,8 +39,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# break-even vs XLA scatter (kernel launch + bank reduce overhead)
-MIN_ELEMS = 1 << 19
+# break-even vs XLA scatter (kernel launch + bank reduce overhead).
+# Probed on v5e (2026-08-21, chained K=64 distinct-input timing): the
+# banked kernel wins 1.53x at 125k elems / 3.7k segments (3.84 ns/elem),
+# 1.61x at 190k / 233k segments, 2.04x at 28k / 1.4k segments
+# (1.47 ns/elem — the small accumulator pipelines better), so the old
+# 1<<19 threshold left the sampler's block-build segment sums (d counts,
+# wt_sum debias, the layer-2 importance scatter) on XLA's 7.5-8.7 ns path.
+MIN_ELEMS = 1 << 14
 # VMEM budget for the banked accumulator
 MAX_ACC_BYTES = 64 * 1024 * 1024
 # test hook: route through the kernel in Pallas interpret mode even off-TPU

@@ -237,8 +237,8 @@ class CapacityPlan:
         self,
         frontier_edges: Sequence[int],
         block_edges: Sequence[int],
-        block_edge_slack: float = 2.0,
-        frontier_slack: float = 1.5,
+        block_edge_slack: float = 1.6,
+        frontier_slack: float = 1.25,
         max_degree: int = 0,
         align: int = 128,
     ) -> "CapacityPlan":
@@ -255,6 +255,15 @@ class CapacityPlan:
 
         ``frontier_edges``/``block_edges``: per-layer maxima of the
         ``frontier_edges`` / ``n_block_edges_true`` sampler stats.
+
+        Slack defaults: the frontier count is a sum over thousands of
+        sampled src degrees (relative std ~5% at the Reddit config), so
+        1.25x the pilot max + max_degree covers many standard deviations;
+        block edges are fanout-capped selections with even less spread
+        (1.6x).  The old 1.5x/2.0x defaults cost ~20% of the whole
+        sampling pass — every frontier-sized scatter/gather scales with
+        the cap (samplers.py speed-of-light budget) — for tail coverage
+        the widen-on-overflow escalation already provides.
         """
         L = len(self.fanouts)
         fr = list(self.frontier_caps)

@@ -75,6 +75,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--gpu", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=0)
     p.add_argument("--data-cpu", action="store_true")
+    p.add_argument("--download", action="store_true",
+                   help="fetch missing raw dataset files from their public "
+                        "sources on first use (dgl.data/ogb hosts — the "
+                        "reference downloads unconditionally, "
+                        "load_graph.py:11-22,32)")
     # UVA analog: host-resident features behind an HBM cache with a
     # cache_miss stat (graph/featurecache.py)
     p.add_argument("--use-uva", action="store_true")
@@ -100,8 +105,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--refit-after", type=int, default=3,
                    help="steps before tightening the static capacities to "
                         "measured maxima and re-jitting (0 disables)")
-    p.add_argument("--refit-block-edge-slack", type=float, default=2.0)
-    p.add_argument("--refit-frontier-slack", type=float, default=1.5)
+    p.add_argument("--refit-block-edge-slack", type=float, default=1.6)
+    p.add_argument("--refit-frontier-slack", type=float, default=1.25)
     p.add_argument("--inference-backend", type=str, default="auto",
                    choices=["auto", "xla", "pallas", "hybrid"],
                    help="full-graph final-eval SpMM backend (auto = pallas "
@@ -251,6 +256,8 @@ def reduce_runs(logdir: str, run_name: str, k: int):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    if args.download:
+        os.environ["BLISS_ALLOW_DOWNLOAD"] = "1"
     if args.platform:
         import jax
 

@@ -116,8 +116,8 @@ class TrainConfig:
     # AND the model scales with the cap.  0 disables.  Post-refit overflow
     # widens the plan back out (CapacityPlan.widen).
     refit_after: int = 3
-    refit_block_edge_slack: float = 2.0
-    refit_frontier_slack: float = 1.5
+    refit_block_edge_slack: float = 1.6
+    refit_frontier_slack: float = 1.25
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

@@ -142,6 +142,69 @@ def test_reddit_dgl_npz_loader(data_root):
     assert g.ndata["test_mask"].sum() == 4
 
 
+def test_download_hook_reddit_zip(data_root, monkeypatch, tmp_path):
+    """--download / BLISS_ALLOW_DOWNLOAD=1 fetches + extracts missing raw
+    files on first use (reference: dgl.data auto-download,
+    load_graph.py:16).  The fetch is mocked (no egress here): it serves a
+    zip in the real data.dgl.ai layout; everything after — extraction,
+    flattening, loader integration — is the production path."""
+    import zipfile
+
+    rng = np.random.default_rng(3)
+    n, f = 10, 4
+    adj = sp.random(n, n, density=0.4, random_state=4, format="csr")
+    staging = tmp_path / "staging"
+    os.makedirs(staging, exist_ok=True)
+    sp.save_npz(staging / "reddit_graph.npz", adj)
+    np.savez(
+        staging / "reddit_data.npz",
+        feature=rng.random((n, f)).astype(np.float32),
+        label=rng.integers(0, 5, n),
+        node_types=np.array([1, 1, 1, 1, 2, 2, 3, 3, 3, 3]),
+    )
+    fetched = []
+
+    def fake_fetch(url, dest):
+        fetched.append(url)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        with zipfile.ZipFile(dest, "w") as zf:
+            for fn in ("reddit_graph.npz", "reddit_data.npz"):
+                zf.write(staging / fn, fn)
+
+    monkeypatch.setattr(ds, "_fetch", fake_fetch)
+    # gate honored: without the env, missing files still raise
+    monkeypatch.delenv("BLISS_ALLOW_DOWNLOAD", raising=False)
+    with pytest.raises(FileNotFoundError):
+        ds.load_dataset("reddit")
+    assert fetched == []
+    monkeypatch.setenv("BLISS_ALLOW_DOWNLOAD", "1")
+    g, n_classes, ml = ds.load_dataset("reddit")
+    assert fetched == [f"{ds._DGL_DATA_URL}/reddit.zip"]
+    assert g.n_nodes == n and g.n_edges == adj.nnz
+    # second load: files on disk, no re-fetch
+    ds.load_dataset("reddit")
+    assert len(fetched) == 1
+
+
+def test_download_hook_planetoid_files(data_root, monkeypatch):
+    """Planetoid download fetches the ind.<name>.* family file-by-file
+    from the canonical host (reference: dgl.data CoraGraphDataset,
+    load_graph.py:11-14)."""
+    written = _write_planetoid(data_root / "staging", "cora")
+
+    def fake_fetch(url, dest):
+        fn = os.path.basename(dest)
+        src = data_root / "staging" / fn
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        with open(src, "rb") as s, open(dest, "wb") as d:
+            d.write(s.read())
+
+    monkeypatch.setattr(ds, "_fetch", fake_fetch)
+    monkeypatch.setenv("BLISS_ALLOW_DOWNLOAD", "1")
+    g, n_classes, ml = ds.load_dataset("cora")
+    assert g.n_nodes == written[0] and not ml
+
+
 def test_ogb_loader(data_root):
     import pandas as pd
 
