@@ -78,13 +78,19 @@ ONEHOT_SEGMENT_INTERPRET = False  # test hook
 
 
 def _maybe_onehot_segment_sum(data, ids, num_segments):
-    """Feature-matrix segment-sum as a lax.scan of one-hot MXU
-    contractions: per 2048-edge tile, onehot[n_seg, et] @ msg[et, F] in
-    bf16 with f32 accumulation (strictly better precision than XLA's
-    elementwise bf16 scatter-adds).  The sampled-block aggregation
-    (u_mul_e_sum over ~125k edges x 256 features into ~1-4k dst slots at
-    the Reddit refit caps) is the target; returns None when the shape is
-    out of profile and the caller falls back to XLA."""
+    """Feature-matrix segment-sum as per-tile one-hot MXU contractions:
+    onehot[n_seg, et] @ msg[et, F] in bf16 with f32 accumulation
+    (strictly better precision than XLA's elementwise bf16
+    scatter-adds).  The sampled-block aggregation (u_mul_e_sum over
+    ~100k edges x 256 features into ~1-4k dst slots at the Reddit refit
+    caps) is the target; returns None when the shape is out of profile
+    and the caller falls back to XLA.
+
+    Runs as a Pallas kernel (ops/segsum_pallas.py): the jnp scan/fori
+    forms were measured to make XLA materialize EVERY tile's one-hot
+    into one stacked [n_tiles, S, et] buffer (~745 MB of HBM traffic
+    per step at the Reddit refit caps, trace fusion.965/while.39)
+    regardless of loop style."""
     use = (
         (jax.default_backend() == "tpu" or ONEHOT_SEGMENT_INTERPRET)
         and data.ndim == 2
@@ -93,30 +99,15 @@ def _maybe_onehot_segment_sum(data, ids, num_segments):
         and data.dtype == jnp.bfloat16
         and data.shape[0] >= _OH_MIN_EDGES
         and num_segments <= _OH_MAX_SEGMENTS
+        and data.shape[1] % 128 == 0
     )
     if not use:
         return None
-    e, f = data.shape
-    et = _OH_TILE
-    ep = ((e + et - 1) // et) * et
-    if ep != e:
-        data = jnp.pad(data, ((0, ep - e), (0, 0)))
-        # padded slots scatter 0 into segment 0
-        ids = jnp.pad(ids, (0, ep - e))
-    msg3 = data.reshape(-1, et, f).astype(jnp.bfloat16)
-    ids2 = ids.reshape(-1, et)
-    seg_iota = jnp.arange(num_segments, dtype=ids.dtype)
+    from bliss_gnn_tpu.ops import segsum_pallas
 
-    def body(acc, xs):
-        ids_t, msg_t = xs
-        oh = (seg_iota[:, None] == ids_t[None, :]).astype(jnp.bfloat16)
-        return acc + jnp.dot(
-            oh, msg_t, preferred_element_type=jnp.float32
-        ), None
-
-    acc0 = jnp.zeros((num_segments, f), jnp.float32)
-    acc, _ = jax.lax.scan(body, acc0, (ids2, msg3))
-    return acc.astype(data.dtype)
+    if ONEHOT_SEGMENT_INTERPRET and jax.default_backend() != "tpu":
+        segsum_pallas.INTERPRET = True  # CPU test hook
+    return segsum_pallas.onehot_segment_sum(data, ids, num_segments)
 
 
 def masked_segment_max(

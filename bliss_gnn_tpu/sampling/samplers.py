@@ -28,40 +28,43 @@ update :195-249) — see the per-function docstrings.
 
 Reference hot loop: bandit_sampler.py:341-367.  Device-trace budget of the
 fused 3-layer poisson-bandit pass at the Reddit refit config (bs=256,
-fanouts 4096/2048/1024, refit frontier caps 2.64M/1.15M/0.19M slots,
-block-edge caps 125k/28k/3.8k; jax.profiler device durations, v5e,
-2026-08-21, scripts/profile_step.py BLISS_PROF_TRACE_REFIT=1 +
-scripts/trace_report.py — truthful where tunnel wall timing is not):
+fanouts 4096/2048/1024; jax.profiler device durations, v5e, 2026-08-21,
+scripts/profile_step.py BLISS_PROF_TRACE_REFIT=1 + trace_report.py —
+truthful where tunnel wall timing is not).  Two r4 changes set the
+current shape: refit slack 1.5->1.25 (frontier caps 2.64M/1.15M/0.19M ->
+2.20M/0.96M/0.16M — every per-slot term scales with the cap) and the
+banked-scatter rerouting at 28k-190k element sizes.  Post-change budget
+(35.2 ms device, down from 44.2):
 
-  17.9 ms  importance-prob segment sums (r_ij^2 by src, the q_j math):
-           banked Pallas scatter-add at 4.0-4.3 ns/elem over 3.98M
+  14.4 ms  importance-prob segment sums (r_ij^2 by src, the q_j math):
+           banked Pallas scatter-add at 4.0-4.4 ns/elem over 3.32M
            frontier slots (probed kernel floor 3.9 ns — insensitive to
-           banks/keys/tile, scripts/probe_scatter_tune.py).  The layer-2
-           and block-build sums sat on XLA's scatter at 7.5-8.7 ns until
-           the MIN_ELEMS=2^14 rerouting (probed 1.5-2x at 28k-190k elems).
-  13.3 ms  keep-mask LUT gathers (sel[src_gid] per frontier slot) at the
+           banks/keys/tile, scripts/probe_scatter_tune.py).  Layer-2 and
+           block-build sums sat on XLA's scatter at 7.5-8.7 ns until the
+           MIN_ELEMS=2^14 rerouting (probed 1.5-2x at 28k-190k elems).
+  11.0 ms  keep-mask LUT gathers (sel[src_gid] per frontier slot) at the
            kernel's probed floor 2.47 ns/idx INCLUDING the [M,1] operand
-           relayout copies (2.06+0.89+0.15 ms): the roll variant built to
-           remove that operand measured 0.59x (4.20 vs 2.47 ns/idx,
+           relayout copies (~2.5 ms): the roll variant built to remove
+           that operand measured 0.59x (4.20 vs 2.47 ns/idx,
            scripts/probe_lut_roll.py — the per-row rotate + diagonal
            extract costs more than the one-hot select) and was REJECTED;
            producing the [et,1] lane column in-kernel from SMEM scalars
            costs ~1 cy/elem, more than the 0.78 ns/idx the copy costs.
-   4.4 ms  block build: 5-field interleaved-LUT gathers of kept edges
-           (~2.4, at floor) + per-dst d/wt_sum debias sums (banked).
-   2.0 ms  compact_by_mask (keep + extra): dominated by the [out_cap,128]
+   3.8 ms  block build: 5-field interleaved-LUT gathers of kept edges
+           (at floor) + per-dst d/wt_sum debias sums (banked).
+   1.8 ms  compact_by_mask (keep + extra): dominated by the [out_cap,128]
            row take feeding the MXU triangular lane prefix — XLA's fast
            row-gather path, bandwidth-bound.
-   3.6 ms  prob chain: chunked frontier sums/broadcasts (reshape-reduce,
+   ~3 ms   prob chain: chunked frontier sums/broadcasts (reshape-reduce,
            ~free), EXP3 grid row takes, Poisson lax.while (0.02 ms — the
            reference's 50 host syncs/layer, bandit_sampler.py:396-401,
            cost ~0 here), Gumbel/Bernoulli draws.
-   ~4 ms   assembly glue (masks, pads, src-table concat, stats).
+   ~2 ms   assembly glue (masks, pads, src-table concat, stats).
 
-  ~44 ms device total; the floor model — every frontier slot pays one
-  banked scatter (3.9 ns) + one keep gather (2.47 ns), plus block-build
-  at kernel floors and the bandwidth-bound compaction — is ~36 ms, i.e.
-  the pass runs at ~0.85 of the floor of this formulation.  The cost is
+  The floor model — every frontier slot pays one banked scatter (3.9 ns)
+  + one keep gather (2.47 ns), plus block-build at kernel floors and the
+  bandwidth-bound compaction — is ~30 ms at these caps, i.e. the pass
+  runs at ~0.86 of the floor of this formulation.  The cost is
   STRUCTURAL: ~9-10 ns per frontier slot across two src-keyed ops whose
   keys are arbitrary (CSC order is dst-major), which no chunk trick
   covers — per-dst quantities ride the ~free reshape-reduce instead.

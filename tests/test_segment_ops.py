@@ -101,7 +101,7 @@ def test_onehot_segment_sum_matches_scatter(rng):
     XLA scatter within bf16 tolerance on a block-aggregation shape."""
     from bliss_gnn_tpu.ops import segment as S
 
-    e, f, n = 1 << 15, 64, 96
+    e, f, n = 1 << 15, 128, 96
     data = jnp.asarray(rng.normal(size=(e, f)), jnp.bfloat16)
     ids = jnp.asarray(rng.integers(0, n, e), jnp.int32)
     mask = jnp.asarray(rng.random(e) < 0.9)
@@ -117,3 +117,35 @@ def test_onehot_segment_sum_matches_scatter(rng):
         S.ONEHOT_SEGMENT_INTERPRET = old
     # bf16 message rounding only (accumulation is f32)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-1)
+
+
+def test_onehot_segment_sum_grad(rng):
+    """The Pallas kernel's custom VJP (dmsg = oh^T @ g, computed as
+    g^T @ oh in the same one-hot orientation) matches the XLA scatter's
+    gradient — the kernel sits inside the model's backward."""
+    import jax
+
+    from bliss_gnn_tpu.ops import segment as S
+
+    e, f, n = 1 << 15, 128, 96
+    data = jnp.asarray(rng.normal(size=(e, f)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    w = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
+
+    def loss_ref(d):
+        s = jax.ops.segment_sum(d.astype(jnp.float32), ids, num_segments=n)
+        return jnp.sum(s * w)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(data).astype(np.float32))
+
+    old = S.ONEHOT_SEGMENT_INTERPRET
+    S.ONEHOT_SEGMENT_INTERPRET = True
+    try:
+        def loss_k(d):
+            s = S.masked_segment_sum(d, ids, n).astype(jnp.float32)
+            return jnp.sum(s * w)
+
+        g_k = np.asarray(jax.grad(loss_k)(data).astype(np.float32))
+    finally:
+        S.ONEHOT_SEGMENT_INTERPRET = old
+    np.testing.assert_allclose(g_k, g_ref, rtol=2e-2, atol=2e-1)
