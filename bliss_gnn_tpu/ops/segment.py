@@ -146,13 +146,39 @@ def gather_v(x_dst, e_dst, mask=None):
     return _mask_data(out, mask)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows(x, idx, n_rows):
+    """jnp.take whose VJP routes through masked_segment_sum: XLA's
+    autodiff of take is a 2-D scatter-add (measured 1.23 ms on the l0
+    block's [100k, 256] message gradient, trace fusion.121) where the
+    one-hot MXU segment-sum runs it in ~0.35 ms."""
+    return jnp.take(x, idx, axis=0)
+
+
+def _gather_rows_fwd(x, idx, n_rows):
+    return jnp.take(x, idx, axis=0), idx
+
+
+def _gather_rows_bwd(n_rows, idx, g):
+    import numpy as np
+
+    dx = masked_segment_sum(g, idx, n_rows)
+    return (dx, np.zeros(idx.shape, dtype=jax.dtypes.float0))
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def u_mul_e_sum(x_src, e_src, e_vals, e_dst, n_dst, mask=None):
     """SpMM: sum_{e into i} w_e * x[src(e)]  (fn.u_mul_e + fn.sum, model.py:98,
     SAGEConv/GraphConv message passing).
 
     x_src [N_src, F]; e_vals [E] or [E, H]; out [n_dst, F] (or [n_dst, H, F']).
     """
-    msg = jnp.take(x_src, e_src, axis=0)
+    msg = _gather_rows(x_src, e_src, x_src.shape[0])
     w = e_vals
     while w.ndim < msg.ndim:
         w = w[..., None]
@@ -161,7 +187,7 @@ def u_mul_e_sum(x_src, e_src, e_vals, e_dst, n_dst, mask=None):
 
 def copy_u_sum(x_src, e_src, e_dst, n_dst, mask=None):
     """SpMM with unit weights: sum_{e into i} x[src(e)]."""
-    msg = jnp.take(x_src, e_src, axis=0)
+    msg = _gather_rows(x_src, e_src, x_src.shape[0])
     return masked_segment_sum(msg, e_dst, n_dst, mask)
 
 
