@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bliss_gnn_tpu.ops.segment import (
+    _gather_rows,
     edge_softmax,
     masked_segment_sum,
     segment_count,
@@ -64,7 +65,9 @@ class SAGEConv(nn.Module):
         )
         lin_before = in_feats > self.out_feats
         src_val = fc_neigh(h_src) if lin_before else h_src
-        msg = jnp.take(src_val, block.e_src, axis=0)
+        # VJP of the message gather routes through the one-hot MXU
+        # segment-sum instead of XLA's 2-D scatter-add (ops/segment.py)
+        msg = _gather_rows(src_val, block.e_src, src_val.shape[0])
         msg = msg * block.e_weight[:, None].astype(self.dtype)
         agg = masked_segment_sum(msg, block.e_dst, n_dst, block.e_mask)
         deg = segment_count(block.e_dst, n_dst, block.e_mask)
@@ -107,7 +110,7 @@ class GraphConv(nn.Module):
         feat = h_src * src_norm[:, None]
         if in_feats > self.out_feats:
             feat = dense(feat)
-        msg = jnp.take(feat, block.e_src, axis=0)
+        msg = _gather_rows(feat, block.e_src, feat.shape[0])
         msg = msg * block.e_weight[:, None].astype(self.dtype)
         rst = masked_segment_sum(msg, block.e_dst, n_dst, block.e_mask)
         if in_feats <= self.out_feats:

@@ -74,10 +74,13 @@ class Block:
         return jnp.sum(self.e_mask.astype(jnp.int32))
 
     def in_degrees(self) -> jax.Array:
-        """Kept-edge in-degree per dst slot (mfg.in_degrees()[:n_dst])."""
-        ids = jnp.where(self.e_mask, self.e_dst, 0)
-        ones = jnp.where(self.e_mask, 1, 0)
-        return jax.ops.segment_sum(ones, ids, num_segments=self.n_dst_cap)
+        """Kept-edge in-degree per dst slot (mfg.in_degrees()[:n_dst]).
+        Routed through segment_count so block-scale counts ride the
+        banked Pallas scatter on TPU (the raw int segment_sum was an
+        0.87 ms XLA scatter at the l0 refit cap, trace fusion.122)."""
+        from bliss_gnn_tpu.ops.segment import segment_count
+
+        return segment_count(self.e_dst, self.n_dst_cap, self.e_mask)
 
 
 def _round_up(x: int, m: int) -> int:
