@@ -67,12 +67,14 @@ def masked_segment_sum(
 
 
 # one-hot MXU segment-sum thresholds: the scatter-add it replaces runs
-# ~17 ns/edge on a [125k, 256] block aggregation (trace fusion.115) where
-# the scanned contraction is MXU-bound at < 4 ns/edge; below the size
-# floor the scan overhead loses, above the height cap the one-hot build
-# dominates
+# ~12-17 ns/edge on a [100k, 256] block aggregation where the one-hot
+# contraction is MXU-bound at S*F MAC/edge — i.e. its cost SCALES WITH
+# num_segments: measured (r4 traces) 0.98 ms at S=3712 (beats the 1.23 ms
+# XLA scatter) but 2.14 ms at S=8064 (loses).  The segment cap keeps the
+# route on the winning side of that crossover; below the edge floor the
+# launch overhead loses.
 _OH_MIN_EDGES = 1 << 15
-_OH_MAX_SEGMENTS = 8192
+_OH_MAX_SEGMENTS = 4096
 _OH_TILE = 2048
 ONEHOT_SEGMENT_INTERPRET = False  # test hook
 
