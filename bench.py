@@ -19,7 +19,9 @@ Prints ONE JSON line:
                                       # (EXP3-sensitive; calibrate_ttvf1)
 
 Env: BLISS_BENCH_SCALE (default 1), BLISS_BENCH_VERBOSE=1,
-BLISS_BENCH_STEP=0 / BLISS_BENCH_TTF1=0 to skip the slower phases.
+BLISS_BENCH_STEP=0 / BLISS_BENCH_TTF1=0 / BLISS_BENCH_GAT=0 /
+BLISS_BENCH_ABLATION=0 to skip the slower phases (the ablation arm is
+the frozen-bandit ttvf1 rerun — up to max_chains through the tunnel).
 
 - graph: synthetic stand-in with Reddit's dimensions (233k nodes, ~115M
   directed edges incl. self-loops, power-law in-degrees, 602-d features) —
@@ -435,6 +437,12 @@ def _bench_step(indptr, csc_src):
             "sampling_ms": round(sampling_ms, 1)}
 
 
+# train steps per chained dispatch of the ttvf1 workload (also the step
+# granularity of its reported counts; tests/test_bandit_ablation.py
+# imports this to size the frozen arm's budget)
+TTVF1_K = 8
+
+
 def _bench_time_to_val_f1(target: float = 0.90, max_chains: int = 25,
                           freeze: bool = False):
     """Wall seconds + train steps (post-compile) for the PR1-style config
@@ -485,7 +493,7 @@ def _bench_time_to_val_f1(target: float = 0.90, max_chains: int = 25,
     g = Graph.canonicalize(g)
     g.edata["w"] = normalized_edata(g)
     dg = g.to_device()
-    K = 8
+    K = TTVF1_K
     Kv = 4
     bs = 1024
     cfg = SamplerConfig(kind="poisson-bandit", fanouts=(256, 128, 64),

@@ -205,7 +205,7 @@ def _fetch(url: str, dest: str):
 
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     tmp = dest + ".part"
-    with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+    with urllib.request.urlopen(url, timeout=60) as r, open(tmp, "wb") as f:
         shutil.copyfileobj(r, f, length=1 << 22)
     os.replace(tmp, dest)
 
@@ -257,6 +257,13 @@ def download_dataset(name: str, root: str | None = None) -> str:
                 zf.extractall(root)
             src = os.path.join(root, extracted)
             if src != d and os.path.isdir(src):
+                if os.path.isdir(d):
+                    # stale dir from an interrupted earlier attempt (it
+                    # has no raw/, or we wouldn't be here) — clear it so
+                    # the rename stays idempotent
+                    import shutil
+
+                    shutil.rmtree(d)
                 os.replace(src, d)
         return d
     raise ValueError(f"no download source known for dataset '{name}'")
@@ -615,12 +622,13 @@ def load_dataset(name: str, seed: int = 0) -> Tuple[Graph, int, bool]:
             return _load_reddit_dgl(os.path.join(DATA_ROOT, name))
         return _load_saint_npz(name)
     if name.startswith("ogbn-"):
-        _maybe_download(
-            name,
-            lambda: os.path.exists(
-                os.path.join(DATA_ROOT, _OGB_ZIPS[name][2], "raw")
-            ) or _raise_missing(name),
-        )
+        if name in _OGB_ZIPS:  # only names with a known download source
+            _maybe_download(
+                name,
+                lambda: os.path.exists(
+                    os.path.join(DATA_ROOT, _OGB_ZIPS[name][2], "raw")
+                ) or _raise_missing(name),
+            )
         return _load_ogb(name)
     raise ValueError(f"unknown dataset '{name}'")
 

@@ -70,8 +70,9 @@ class SAGEConv(nn.Module):
         msg = _gather_rows(src_val, block.e_src, src_val.shape[0])
         msg = msg * block.e_weight[:, None].astype(self.dtype)
         agg = masked_segment_sum(msg, block.e_dst, n_dst, block.e_mask)
-        deg = segment_count(block.e_dst, n_dst, block.e_mask)
-        agg = agg / jnp.maximum(deg, 1)[:, None].astype(self.dtype)
+        deg = segment_count(block.e_dst, n_dst, block.e_mask,
+                            dtype=jnp.float32)
+        agg = agg / jnp.maximum(deg, 1.0)[:, None].astype(self.dtype)
         h_neigh = agg if lin_before else fc_neigh(agg)
         bias = self.param(
             "bias", nn.initializers.zeros, (self.out_feats,), self.param_dtype
@@ -103,10 +104,9 @@ class GraphConv(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, name="weight",
         )
         # src-side norm: out-degrees over kept edges
-        out_deg = segment_count(block.e_src, n_src, block.e_mask)
-        src_norm = jax.lax.rsqrt(
-            jnp.maximum(out_deg, 1).astype(jnp.float32)
-        ).astype(self.dtype)
+        out_deg = segment_count(block.e_src, n_src, block.e_mask,
+                                dtype=jnp.float32)
+        src_norm = jax.lax.rsqrt(jnp.maximum(out_deg, 1.0)).astype(self.dtype)
         feat = h_src * src_norm[:, None]
         if in_feats > self.out_feats:
             feat = dense(feat)
@@ -115,10 +115,9 @@ class GraphConv(nn.Module):
         rst = masked_segment_sum(msg, block.e_dst, n_dst, block.e_mask)
         if in_feats <= self.out_feats:
             rst = dense(rst)
-        in_deg = segment_count(block.e_dst, n_dst, block.e_mask)
-        dst_norm = jax.lax.rsqrt(
-            jnp.maximum(in_deg, 1).astype(jnp.float32)
-        ).astype(self.dtype)
+        in_deg = segment_count(block.e_dst, n_dst, block.e_mask,
+                               dtype=jnp.float32)
+        dst_norm = jax.lax.rsqrt(jnp.maximum(in_deg, 1.0)).astype(self.dtype)
         rst = rst * dst_norm[:, None]
         if self.activation is not None:
             rst = self.activation(rst)

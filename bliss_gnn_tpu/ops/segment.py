@@ -228,12 +228,17 @@ def edge_softmax(
     return _mask_data(out, mask).astype(logits.dtype)
 
 
-def segment_count(segment_ids, num_segments, mask=None) -> jax.Array:
+def segment_count(segment_ids, num_segments, mask=None,
+                  dtype=jnp.int32) -> jax.Array:
     """Per-segment edge counts (in-degrees of a padded edge list).
 
     Counted in f32 so the banked Pallas scatter path applies (1.5-2x the
-    XLA int scatter at block scales); exact — a segment's count is bounded
-    by the edge capacity << 2^24."""
+    XLA int scatter at block scales); exact — a segment's count is
+    bounded by the edge capacity << 2^24.  Hot callers that consume the
+    count as float pass ``dtype=jnp.float32`` to skip the
+    round->int32->float32 conversion passes."""
     ones = jnp.ones(segment_ids.shape[0], dtype=jnp.float32)
     out = masked_segment_sum(ones, segment_ids, num_segments, mask)
-    return jnp.round(out).astype(jnp.int32)
+    if dtype == jnp.float32:
+        return out
+    return jnp.round(out).astype(dtype)

@@ -73,15 +73,22 @@ def _bwd_kernel(S_pad: int, et: int):
     return kern
 
 
-def _pad_inputs(data: jax.Array, ids: jax.Array, et: int):
-    e, f = data.shape
+def _pad_ids(ids: jax.Array, e: int, et: int):
+    """[E] ids -> 8-sublane-replicated [n_tiles, 8, et] slab + padded E."""
     ep = _round_up(max(e, et), et)
     if ep != e:
-        data = jnp.pad(data, ((0, ep - e), (0, 0)))
-        ids = jnp.pad(ids, (0, ep - e))  # pad -> segment 0, data 0
+        ids = jnp.pad(ids, (0, ep - e))  # pad -> segment 0 (data is 0)
     ids3 = jnp.broadcast_to(
         ids.astype(jnp.int32).reshape(-1, 1, et), (ep // et, 8, et)
     )
+    return ids3, ep
+
+
+def _pad_inputs(data: jax.Array, ids: jax.Array, et: int):
+    e, _ = data.shape
+    ids3, ep = _pad_ids(ids, e, et)
+    if ep != e:
+        data = jnp.pad(data, ((0, ep - e), (0, 0)))
     return data, ids3, ep
 
 
@@ -126,8 +133,7 @@ def _bwd(num_segments, res, g):
     gt = jnp.pad(
         g.astype(jnp.bfloat16), ((0, s_pad - num_segments), (0, 0))
     ).T  # [F, S_pad]
-    zeros = jnp.zeros((e, f), jnp.bfloat16)  # only ids/ep matter here
-    _, ids2, ep = _pad_inputs(zeros, ids, et)
+    ids2, ep = _pad_ids(ids, e, et)
     dmsgt = pl.pallas_call(
         _bwd_kernel(s_pad, et),
         out_shape=jax.ShapeDtypeStruct((f, ep), jnp.bfloat16),

@@ -838,6 +838,59 @@ def _dense_block_kernel(et_d: int, wr: int, sub: int, f: int):
     return kernel
 
 
+def _dense_block_kernel_packed(et_d: int, wr: int, sub: int, f_half: int):
+    """Packed-band dense-block kernel: same W-build as the f32 variant;
+    the apply unpacks the [sub, f_half] packed band slice via the probed
+    bitcast (f32 lane -> two bf16 rows -> reshape concatenates the pair),
+    producing output in the SAME [evens|odds] permuted feature space as
+    the packed gather kernel — one shared accumulator."""
+
+    def kernel(
+        win_ref, firstwin_ref, firstblk_ref, lastblk_ref, sub_ref,
+        dst_ref, src_ref, w_ref,
+        band_ref,  # [band, f_half] f32 (packed bf16 pairs)
+        acc_in_ref,  # [wr, 2*f_half] f32 (permuted space, aliased)
+        acc_out_ref,
+        w_scratch,  # [wr, sub] f32
+    ):
+        t = pl.program_id(0)
+        dst = dst_ref[0, 0, :]
+        srcr = src_ref[0, 0, :]
+        wv = w_ref[0, 0, :]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (wr, et_d), 0)
+        onehot_d = jnp.where(rows == dst[None, :], wv[None, :], 0.0).astype(
+            jnp.bfloat16
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, (et_d, sub), 1)
+        onehot_s = (cols == srcr[:, None]).astype(jnp.bfloat16)
+        w_part = jnp.dot(onehot_d, onehot_s,
+                         preferred_element_type=jnp.float32)
+
+        @pl.when(firstblk_ref[t] == 1)
+        def _():
+            w_scratch[:, :] = w_part
+
+        @pl.when(firstblk_ref[t] == 0)
+        def _():
+            w_scratch[:, :] = w_scratch[:, :] + w_part
+
+        @pl.when(firstwin_ref[t] == 1)
+        def _():
+            acc_out_ref[:, :] = acc_in_ref[:, :]
+
+        @pl.when(lastblk_ref[t] == 1)
+        def _():
+            band_sub = band_ref[pl.ds(sub_ref[t] * sub, sub), :]
+            unpacked = pltpu.bitcast(band_sub, jnp.bfloat16).reshape(
+                sub, 2 * f_half
+            )
+            part = jnp.dot(w_scratch[:, :].astype(jnp.bfloat16), unpacked,
+                           preferred_element_type=jnp.float32)
+            acc_out_ref[:, :] = acc_out_ref[:, :] + part
+
+    return kernel
+
+
 @dataclasses.dataclass(frozen=True)
 class DeviceHybridLayout:
     d_win: jax.Array
@@ -882,15 +935,29 @@ def hybrid_spmm(
     layout: DeviceHybridLayout,
     acc: Optional[jax.Array] = None,
     interpret: bool = False,
+    packed: bool = False,
 ) -> jax.Array:
     """Dense sweep (per band) + gather sweep into one accumulator.
-    Inputs/outputs live in the degree-sorted node space."""
+    Inputs/outputs live in the degree-sorted node space.
+
+    ``packed=True``: ``x2d`` is the f32 pair-packed band
+    (pack_band_features, [n_bands*band, f_half]) and the accumulator
+    lives in the packed kernels' [evens|odds] permuted feature space
+    ([n_wins*wr, 2*f_half]) — the dense tier unpacks its band slice
+    in-kernel and the gather remainder runs banded_spmm_packed, so at
+    F <= 256 BOTH tiers get the packed gather's fast copies while the
+    dense tier keeps its no-per-edge-copy MXU apply."""
     m = layout.meta
     f = x2d.shape[-1]
     assert f % 128 == 0
+    if packed:
+        acc_f = 2 * f
+        kernel = _dense_block_kernel_packed(m.et_d, m.wr, m.sub, f)
+    else:
+        acc_f = f
+        kernel = _dense_block_kernel(m.et_d, m.wr, m.sub, f)
     if acc is None:
-        acc = jnp.zeros((m.n_wins * m.wr, f), jnp.float32)
-    kernel = _dense_block_kernel(m.et_d, m.wr, m.sub, f)
+        acc = jnp.zeros((m.n_wins * m.wr, acc_f), jnp.float32)
     nt = m.nt_dense
     for band_id in range(m.n_bands):
         t0, t1 = band_id * nt, (band_id + 1) * nt
@@ -911,18 +978,20 @@ def hybrid_spmm(
                              lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # whole band
-                pl.BlockSpec((m.wr, f), lambda i, tw, *_: (tw[i], 0),
+                pl.BlockSpec((m.wr, acc_f), lambda i, tw, *_: (tw[i], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (m.wr, f), lambda i, tw, *_: (tw[i], 0),
+                (m.wr, acc_f), lambda i, tw, *_: (tw[i], 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[pltpu.VMEM((m.wr, m.sub), jnp.float32)],
         )
         acc = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((m.n_wins * m.wr, f), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (m.n_wins * m.wr, acc_f), jnp.float32
+            ),
             grid_spec=grid_spec,
             input_output_aliases={9: 0},
             compiler_params=pltpu.CompilerParams(
@@ -941,20 +1010,33 @@ def hybrid_spmm(
             band_slice,
             acc,
         )
+    if packed:
+        return banded_spmm_packed(x2d, layout.gather, acc,
+                                  interpret=interpret)
     return banded_spmm(x2d, layout.gather, acc, interpret=interpret)
 
 
 def spmm_via_pallas_hybrid(
     x: jax.Array, layout: DeviceHybridLayout, n_nodes: int,
-    interpret: bool = False,
+    interpret: bool = False, packed: Optional[bool] = None,
 ) -> jax.Array:
     """[N, F] in (canonical node order) -> [N, F] f32 out.  Permutes rows
-    into the degree-sorted space, runs the hybrid sweeps, unpermutes."""
+    into the degree-sorted space, runs the hybrid sweeps, unpermutes.
+
+    ``packed`` auto-selects the pair-packed tiers at F <= 256 (the same
+    one-lane-group copy cliff as spmm_via_pallas)."""
     m = layout.meta
     f = x.shape[1]
+    if packed is None:
+        packed = f <= 256
     xp = jnp.take(x, layout.perm, axis=0)
-    xb = band_features(xp, m.band, m.n_bands)
-    out = hybrid_spmm(xb, layout, interpret=interpret)[: m.n_nodes, :f]
+    if packed:
+        xpk = pack_band_features(xp, m.band, m.n_bands)
+        out_p = hybrid_spmm(xpk, layout, interpret=interpret, packed=True)
+        out = unpermute_features(out_p, f)[: m.n_nodes]
+    else:
+        xb = band_features(xp, m.band, m.n_bands)
+        out = hybrid_spmm(xb, layout, interpret=interpret)[: m.n_nodes, :f]
     # unpermute as a row TAKE through the precomputed inverse (a [N, F] row
     # scatter is the slow XLA path — CLAUDE.md measured rules)
     return jnp.take(out, layout.inv_perm, axis=0)[:n_nodes]

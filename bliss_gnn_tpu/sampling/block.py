@@ -73,14 +73,16 @@ class Block:
     def num_edges(self) -> jax.Array:
         return jnp.sum(self.e_mask.astype(jnp.int32))
 
-    def in_degrees(self) -> jax.Array:
+    def in_degrees(self, dtype=jnp.int32) -> jax.Array:
         """Kept-edge in-degree per dst slot (mfg.in_degrees()[:n_dst]).
         Routed through segment_count so block-scale counts ride the
         banked Pallas scatter on TPU (the raw int segment_sum was an
-        0.87 ms XLA scatter at the l0 refit cap, trace fusion.122)."""
+        0.87 ms XLA scatter at the l0 refit cap, trace fusion.122);
+        float consumers pass dtype=jnp.float32 to skip conversions."""
         from bliss_gnn_tpu.ops.segment import segment_count
 
-        return segment_count(self.e_dst, self.n_dst_cap, self.e_mask)
+        return segment_count(self.e_dst, self.n_dst_cap, self.e_mask,
+                             dtype=dtype)
 
 
 def _round_up(x: int, m: int) -> int:

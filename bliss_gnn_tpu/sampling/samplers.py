@@ -465,7 +465,7 @@ def _build_block(
     e_src = jnp.where(e_mask_b, e_src_r, 0)
     p_src_edge = p_src_r.astype(jnp.float32)
     wt = jnp.where(p_src_edge > 0, w / jnp.where(p_src_edge > 0, p_src_edge, 1.0), 0.0)
-    d = segment_count(e_dst, n_seed_cap, e_mask_b).astype(jnp.float32)
+    d = segment_count(e_dst, n_seed_cap, e_mask_b, dtype=jnp.float32)
     if debias == "ladies":
         wt = wt * maybe_lut_gather(d, e_dst)
     elif debias == "bandit":
@@ -779,7 +779,7 @@ def _rewards_and_delta(
     carry 0 (multiplier 1)."""
     from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather_multi
 
-    k_i = block.in_degrees().astype(jnp.float32)  # [n_dst_cap], kept degree
+    k_i = block.in_degrees(dtype=jnp.float32)  # [n_dst_cap], kept degree
     safe_dst = jnp.where(block.dst_mask, block.dst_gids, 0)
     nd = safe_dst.shape[0]
     bounds = ptr_take(

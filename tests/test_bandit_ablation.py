@@ -24,7 +24,7 @@ def test_frozen_bandit_needs_more_steps():
     assert live["ttvf1_steps"] is not None, (
         f"live bandit never reached target: {live}"
     )
-    K = 8  # bench chain length
+    K = bench.TTVF1_K  # bench chain length
     cap = math.ceil(1.3 * live["ttvf1_steps"] / K) + 1
     frozen = bench._bench_time_to_val_f1(max_chains=cap, freeze=True)
     if frozen["ttvf1_frozen_reached"]:

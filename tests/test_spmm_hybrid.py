@@ -42,7 +42,8 @@ def _mk_graph(n, e, hub_frac=0.7, seed=0, unit_w=False):
 
 
 @pytest.mark.parametrize("dense_t", [4, 10**9])
-def test_hybrid_exact_integer(dense_t):
+@pytest.mark.parametrize("packed", [False, True])
+def test_hybrid_exact_integer(dense_t, packed):
     """Integer features + unit weights: exact through bf16 — verifies the
     permutation, block split, tiling, W accumulation, and fold logic."""
     n, e = 700, 6000
@@ -58,7 +59,8 @@ def test_hybrid_exact_integer(dense_t):
     dl = DeviceHybridLayout.from_host(layout)
     rng = np.random.default_rng(1)
     x = rng.integers(-4, 5, size=(n, 128)).astype(np.float32)
-    out = spmm_via_pallas_hybrid(jnp.asarray(x), dl, n, interpret=True)
+    out = spmm_via_pallas_hybrid(jnp.asarray(x), dl, n, interpret=True,
+                                 packed=packed)
     ref = _ref(indptr, csc_src, w, x, n)
     np.testing.assert_array_equal(np.asarray(out), ref)
 
@@ -80,7 +82,8 @@ def test_hybrid_random_tolerance():
     np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.3)
 
 
-def test_hybrid_multitile_blocks_exact():
+@pytest.mark.parametrize("packed", [False, True])
+def test_hybrid_multitile_blocks_exact(packed):
     """Blocks wider than one dense tile (W accumulated across tiles)."""
     n, e = 300, 9000
     rng = np.random.default_rng(3)
@@ -99,6 +102,7 @@ def test_hybrid_multitile_blocks_exact():
     ), "expected at least one multi-tile block"
     dl = DeviceHybridLayout.from_host(layout)
     x = rng.integers(-3, 4, size=(n, 128)).astype(np.float32)
-    out = spmm_via_pallas_hybrid(jnp.asarray(x), dl, n, interpret=True)
+    out = spmm_via_pallas_hybrid(jnp.asarray(x), dl, n, interpret=True,
+                                 packed=packed)
     ref = _ref(indptr, csc_src, w[perm], x, n)
     np.testing.assert_array_equal(np.asarray(out), ref)
