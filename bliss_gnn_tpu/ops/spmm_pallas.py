@@ -1023,12 +1023,20 @@ def spmm_via_pallas_hybrid(
     """[N, F] in (canonical node order) -> [N, F] f32 out.  Permutes rows
     into the degree-sorted space, runs the hybrid sweeps, unpermutes.
 
-    ``packed`` auto-selects the pair-packed tiers at F <= 256 (the same
-    one-lane-group copy cliff as spmm_via_pallas)."""
+    ``packed`` runs the pair-packed tiers (dense in-kernel unpack +
+    packed gather remainder).  Probed at F=256 full Reddit scale
+    (scripts/probe_hybrid_packed.py, 2026-08-21): 337.9 M edges/s vs the
+    pure banded packed kernel's 346.3 — a wash (0.98x), because the
+    dense tier's W-build one-hots are F-invariant fixed cost while the
+    packed gather's (1, 128) copies already hit the fast path, so the
+    dense tier no longer displaces anything slower.  Hence the default
+    stays UNPACKED here (the hybrid wins at F > 256 where gather copies
+    are expensive) and the F <= 256 production route stays the pure
+    banded packed kernel (spmm_via_pallas)."""
     m = layout.meta
     f = x.shape[1]
     if packed is None:
-        packed = f <= 256
+        packed = False
     xp = jnp.take(x, layout.perm, axis=0)
     if packed:
         xpk = pack_band_features(xp, m.band, m.n_bands)

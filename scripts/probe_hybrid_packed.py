@@ -58,27 +58,29 @@ x = jnp.asarray(
     np.random.default_rng(3).normal(size=(n_nodes, 256)), jnp.bfloat16)
 
 
-def timeit(name, fn):
+def timeit(name, fn, layout):
+    # layout rides as an ARGUMENT: closing the jit over its device arrays
+    # inlines GBs into the remote-compile payload (CLAUDE.md)
     f = jax.jit(fn)
-    float(f(x, jnp.float32(0))[0, 0])
+    float(f(x, layout, jnp.float32(0)))
     log(f"{name} warm")
     ts = []
     for r in range(3):
         t0 = time.perf_counter()
-        float(f(x, jnp.float32(1 + r))[0, 0])
+        float(f(x, layout, jnp.float32(1 + r)))
         ts.append(time.perf_counter() - t0 - 0.033)
     t = min(ts)
     log(f"{name}: {t*1e3:.0f} ms -> {n_edges/t/1e6:.1f} M edges/s")
     return t
 
 
-t_b = timeit("banded packed ", lambda x, s: spmm_via_pallas(
-    x * jnp.bfloat16(1 + s * 1e-2), dbl, n_nodes, packed=True))
-t_h = timeit("hybrid packed ", lambda x, s: spmm_via_pallas_hybrid(
-    x * jnp.bfloat16(1 + s * 1e-2), dhl, n_nodes, packed=True))
+t_b = timeit("banded packed ", lambda x, dl_, s: spmm_via_pallas(
+    x * jnp.bfloat16(1 + s * 1e-2), dl_, n_nodes, packed=True)[0, 0], dbl)
+t_h = timeit("hybrid packed ", lambda x, dl_, s: spmm_via_pallas_hybrid(
+    x * jnp.bfloat16(1 + s * 1e-2), dl_, n_nodes, packed=True)[0, 0], dhl)
 log(f"hybrid-packed vs banded-packed: {t_b/t_h:.2f}x")
-a = np.asarray(jax.jit(lambda x: spmm_via_pallas(
-    x, dbl, n_nodes, packed=True)[:256])(x))
-b = np.asarray(jax.jit(lambda x: spmm_via_pallas_hybrid(
-    x, dhl, n_nodes, packed=True)[:256])(x))
+a = np.asarray(jax.jit(lambda x, dl_: spmm_via_pallas(
+    x, dl_, n_nodes, packed=True)[:256])(x, dbl))
+b = np.asarray(jax.jit(lambda x, dl_: spmm_via_pallas_hybrid(
+    x, dl_, n_nodes, packed=True)[:256])(x, dhl))
 log(f"xcheck max|diff| {np.abs(a-b).max():.3e} scale {np.abs(a).max():.3e}")
