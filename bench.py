@@ -283,6 +283,8 @@ def main():
     del dbl, xh
     _log(f"packed@256: {result['spmm_hidden_edges_per_s_M']} M edges/s")
 
+    if os.environ.get("BLISS_BENCH_SCALING", "1") != "0":
+        result.update(_bench_dp_scaling())
     if os.environ.get("BLISS_BENCH_GAT", "1") != "0":
         result.update(_bench_gat(indptr, csc_src))
     if os.environ.get("BLISS_BENCH_STEP", "1") != "0":
@@ -293,6 +295,38 @@ def main():
             result.update(_bench_time_to_val_f1(freeze=True))
 
     print(json.dumps(result))
+
+
+def _bench_dp_scaling():
+    """DP weak-scaling efficiency at 8 virtual CPU devices
+    (scripts/bench_scaling.py in a subprocess — the TPU process owns one
+    chip; the harness exercises the sharded step + collectives and its
+    efficiency math, and gives the headline number unchanged on a real
+    pod slice).  Regression-tracks the parallel layer in BENCH_r*.json."""
+    import re
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PYTHONPATH=root,
+               BLISS_SCALE_BALANCE="0")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(root, "scripts",
+                                          "bench_scaling.py")],
+            env=env, capture_output=True, text=True, timeout=1200,
+        ).stdout
+    except Exception as e:  # pragma: no cover
+        _log(f"scaling harness failed: {e}")
+        return {}
+    effs = re.findall(r"S=\s*(\d+):.*efficiency\s+([0-9.]+)%", out)
+    if not effs:
+        _log(f"scaling harness output unparsed: {out[-300:]}")
+        return {}
+    s, e = max((int(a), float(b)) for a, b in effs)
+    _log(f"dp weak scaling: {e}% at {s} devices")
+    return {"dp_weak_scaling_pct": e, "dp_weak_scaling_devices": s}
 
 
 def _bench_gat(indptr, csc_src):

@@ -88,7 +88,8 @@ def main():
         print(f"S={S:2d}: {dt*1e3:7.1f} ms/step, {rate:9.0f} seeds/s, "
               f"weak-scaling efficiency {eff:6.1%}")
 
-    shard_balance_report()
+    if os.environ.get("BLISS_SCALE_BALANCE", "1") != "0":
+        shard_balance_report()
 
 
 def shard_balance_report(S: int = 8):

@@ -57,6 +57,7 @@ def test_cli_full_flag_surface_parses():
         "--val-acc-target", "0.9", "--early-stopping-patience", "5",
         "--disable-checkpoint", "--precision", "medium", "--k-runs", "2",
         "--seed", "7", "--gpu", "0", "--num-workers", "2", "--data-cpu",
+        "--download",
         "--use-uva", "--cache-size", "100", "--ema-w", "0.9",
         "--exp3-delta", "0.02", "--exp3-renorm-every", "8",
         "--poisson-eps", "0.999", "--lr-gamma", "0.1",
