@@ -76,11 +76,16 @@ def main():
         smask = jnp.ones(B, bool)
         state, m = step(state, seeds, smask, dg)  # compile + warm
         jax.block_until_ready(m["train_loss"])
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
-            state, m = step(state, seeds, smask, dg)
-        jax.block_until_ready(m["train_loss"])
-        dt = (time.perf_counter() - t0) / STEPS
+        # best of 2 measurement rounds: the virtual CPU mesh shares host
+        # cores with whatever else runs, and a transient spike on one S
+        # otherwise fabricates an efficiency regression
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(STEPS):
+                state, m = step(state, seeds, smask, dg)
+            jax.block_until_ready(m["train_loss"])
+            dt = min(dt, (time.perf_counter() - t0) / STEPS)
         rate = B / dt  # global seeds/s
         if base_rate is None:
             base_rate = rate
