@@ -159,17 +159,28 @@ class GATv2Conv(nn.Module):
             H * O, use_bias=False, kernel_init=_xavier_relu,
             dtype=self.dtype, param_dtype=self.param_dtype, name="fc_src",
         )
-        feat_src = fc(h_src).reshape(-1, H, O)  # share_weights=True
-        feat_dst = feat_src[:n_dst]
+        # per-edge tensors stay 2-D [E, H*O]: the 3-D [E, H, O] forms made
+        # every take-VJP and the message segment-sum an XLA 3-D scatter
+        # (3 x ~6 ms/step at the Reddit refit caps, trace fusion.157/131/
+        # 158) where the 2-D forms ride _gather_rows' segment-sum VJP and
+        # the one-hot MXU/banked kernels
+        feat2 = fc(h_src)  # [N_src, H*O], share_weights=True
         attn = self.param("attn", _xavier_relu, (1, H, O), self.param_dtype)
-        el = jnp.take(feat_src, block.e_src, axis=0)  # [E, H, O]
-        er = jnp.take(feat_dst, jnp.clip(block.e_dst, 0, n_dst - 1), axis=0)
-        e_full = nn.leaky_relu(el + er, negative_slope=self.negative_slope)
+        el2 = _gather_rows(feat2, block.e_src, feat2.shape[0])
+        er2 = _gather_rows(
+            feat2[:n_dst], jnp.clip(block.e_dst, 0, n_dst - 1), n_dst
+        )
+        el = el2.reshape(-1, H, O)
+        e_full = nn.leaky_relu(
+            el + er2.reshape(-1, H, O), negative_slope=self.negative_slope
+        )
         e = jnp.sum(e_full * attn.astype(self.dtype), axis=-1)  # [E, H]
         a = edge_softmax(e, block.e_dst, n_dst, block.e_mask)
         a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
-        msg = el * a[..., None].astype(self.dtype)
-        rst = masked_segment_sum(msg, block.e_dst, n_dst, block.e_mask)
+        msg2 = (el * a[..., None].astype(self.dtype)).reshape(-1, H * O)
+        rst = masked_segment_sum(
+            msg2, block.e_dst, n_dst, block.e_mask
+        ).reshape(n_dst, H, O)
         if self.residual:
             in_dst_feats = h_dst.shape[-1]
             if in_dst_feats != H * O:

@@ -82,13 +82,15 @@ graph = DeviceGraph(
 jax.block_until_ready(graph.csc_src)
 log("graph on device")
 
-cfg = SamplerConfig(kind="poisson-bandit", fanouts=(4096, 2048, 1024))
+MODEL = os.environ.get("BLISS_PROF_MODEL", "sage")
+cfg = SamplerConfig(kind="poisson-bandit", fanouts=(4096, 2048, 1024),
+                    model=MODEL)
 plan = CapacityPlan.build(256, cfg.fanouts, N_NODES, n_edges,
                           kind=cfg.kind, deg_std=float(deg.std()),
                           max_degree=int(deg.max()))
 log(f"plan: frontier={plan.frontier_caps} block_e={plan.block_e_caps} "
     f"cand={plan.cand_caps}")
-model = build_model("sage", 256, N_CLASSES, 3)
+model = build_model(MODEL, 256, N_CLASSES, 3)
 exp3 = init_exp3_weights(3, n_edges)
 
 seeds = jnp.asarray(
