@@ -101,6 +101,11 @@ def _maybe_onehot_segment_sum(data, ids, num_segments):
         and data.dtype == jnp.bfloat16
         and data.shape[0] >= _OH_MIN_EDGES
         and num_segments <= _OH_MAX_SEGMENTS
+        # the MXU cost is S*F MAC/edge; the XLA scatter it displaces is
+        # ~F-proportional bandwidth — measured crossover S*F ~ 1M
+        # (S=3712,F=256: 0.98 vs 1.23 ms wins; S=3712,F=1024: 4.8 vs
+        # 3.7 ms loses — r4 GAT trace)
+        and num_segments * data.shape[1] <= 1 << 20
         and data.shape[1] % 128 == 0
     )
     if not use:

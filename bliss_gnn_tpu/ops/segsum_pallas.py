@@ -14,10 +14,11 @@ tile's one-hot in VMEM registers where it is consumed:
 - forward: grid over edge tiles; per tile an iota-compare builds
   ``oh[S_pad, et]`` (~15 MB VMEM), one bf16 MXU dot accumulates into the
   resident f32 ``acc[S_pad, F]`` output block;
-- backward (custom VJP, d/dmsg only — ids are integral):
-  ``dmsg_t = oh_t^T @ g`` computed per tile as ``g^T @ oh_t`` (the SAME
-  one-hot orientation — no [et, 1] index column anywhere), emitted
-  [F, et] and transposed once by the caller.
+- backward (custom VJP, d/dmsg only — ids are integral): a plain XLA row
+  gather ``g[ids]`` — d/dmsg of a segment-sum IS the per-edge gather of
+  the output cotangent (the earlier matmul formulation oh_t^T @ g paid
+  S*F MXU MACs per edge for what a bandwidth-bound take does: 4.4 vs
+  2.9 ms at [100k, 1024], r4 GAT trace gatv2_layers_0.4).
 
 Cost at the Reddit refit caps: ~0.4 ms one-hot VPU builds + ~1.1 ms MXU
 per pass vs ~7.4 ms for the XLA-materialized scan family.
@@ -57,18 +58,6 @@ def _fwd_kernel(S_pad: int, et: int):
         acc_ref[...] += jnp.dot(
             oh, msg_ref[...], preferred_element_type=jnp.float32
         )
-
-    return kern
-
-
-def _bwd_kernel(S_pad: int, et: int):
-    def kern(ids_ref, gt_ref, dmsgt_ref):
-        ids = ids_ref[0, 0:1, :]
-        seg = jax.lax.broadcasted_iota(jnp.int32, (S_pad, et), 0)
-        oh = (seg == ids).astype(jnp.bfloat16)
-        dmsgt_ref[...] = jnp.dot(
-            gt_ref[...], oh, preferred_element_type=jnp.float32
-        ).astype(dmsgt_ref.dtype)
 
     return kern
 
@@ -127,33 +116,10 @@ def _fwd(data, ids, num_segments):
 
 
 def _bwd(num_segments, res, g):
-    ids, e, f = res
-    et = ET
-    s_pad = _round_up(num_segments, 16)
-    gt = jnp.pad(
-        g.astype(jnp.bfloat16), ((0, s_pad - num_segments), (0, 0))
-    ).T  # [F, S_pad]
-    ids2, ep = _pad_ids(ids, e, et)
-    dmsgt = pl.pallas_call(
-        _bwd_kernel(s_pad, et),
-        out_shape=jax.ShapeDtypeStruct((f, ep), jnp.bfloat16),
-        grid=(ep // et,),
-        in_specs=[
-            pl.BlockSpec((1, 8, et), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, s_pad), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((f, et), lambda t: (0, t),
-                               memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=INTERPRET,
-    )(ids2, gt)
     import numpy as np
 
-    dmsg = dmsgt.T[:e].astype(g.dtype)
+    ids, e, f = res
+    dmsg = jnp.take(g, ids, axis=0)
     # ids are integral: float0 cotangent, as jax requires
     return (dmsg, np.zeros(ids.shape, dtype=jax.dtypes.float0))
 
