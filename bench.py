@@ -283,7 +283,9 @@ def main():
     del dbl, xh
     _log(f"packed@256: {result['spmm_hidden_edges_per_s_M']} M edges/s")
 
-    if os.environ.get("BLISS_BENCH_SCALING", "1") != "0":
+    # default on at full scale only: smoke runs (SCALE != 1) stay quick
+    scaling_default = "1" if SCALE == 1.0 else "0"
+    if os.environ.get("BLISS_BENCH_SCALING", scaling_default) != "0":
         result.update(_bench_dp_scaling())
     if os.environ.get("BLISS_BENCH_GAT", "1") != "0":
         result.update(_bench_gat(indptr, csc_src))
@@ -309,20 +311,31 @@ def _bench_dp_scaling():
 
     root = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
-    env.update(JAX_PLATFORMS="cpu", PYTHONPATH=root,
-               BLISS_SCALE_BALANCE="0")
+    # set XLA_FLAGS explicitly: bench_scaling's setdefault would keep any
+    # inherited TPU-side flags and silently lose the virtual device count
+    # (degenerating the metric to a fabricated 100% at S=1)
+    env.update(
+        JAX_PLATFORMS="cpu", PYTHONPATH=root, BLISS_SCALE_BALANCE="0",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
     try:
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.join(root, "scripts",
                                           "bench_scaling.py")],
             env=env, capture_output=True, text=True, timeout=1200,
-        ).stdout
+        )
+        out = proc.stdout
     except Exception as e:  # pragma: no cover
-        _log(f"scaling harness failed: {e}")
+        print(f"[bench] scaling harness failed: {e}", file=sys.stderr)
         return {}
     effs = re.findall(r"S=\s*(\d+):.*efficiency\s+([0-9.]+)%", out)
     if not effs:
-        _log(f"scaling harness output unparsed: {out[-300:]}")
+        print(
+            f"[bench] scaling harness unparsed (rc={proc.returncode}): "
+            f"stdout[-200:]={out[-200:]!r} stderr[-300:]="
+            f"{proc.stderr[-300:]!r}",
+            file=sys.stderr,
+        )
         return {}
     s, e = max((int(a), float(b)) for a, b in effs)
     _log(f"dp weak scaling: {e}% at {s} devices")

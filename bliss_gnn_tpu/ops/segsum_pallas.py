@@ -119,7 +119,10 @@ def _bwd(num_segments, res, g):
     import numpy as np
 
     ids, e, f = res
-    dmsg = jnp.take(g, ids, axis=0)
+    # out-of-range ids contribute ZERO forward (the one-hot matches no
+    # segment, same as XLA segment_sum's drop semantics) — their gradient
+    # must be zero too, not the clamp-to-last-row jnp.take defaults to
+    dmsg = jnp.take(g, ids, axis=0, mode="fill", fill_value=0)
     # ids are integral: float0 cotangent, as jax requires
     return (dmsg, np.zeros(ids.shape, dtype=jax.dtypes.float0))
 

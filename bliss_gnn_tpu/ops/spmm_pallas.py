@@ -1018,7 +1018,7 @@ def hybrid_spmm(
 
 def spmm_via_pallas_hybrid(
     x: jax.Array, layout: DeviceHybridLayout, n_nodes: int,
-    interpret: bool = False, packed: Optional[bool] = None,
+    interpret: bool = False, packed: bool = False,
 ) -> jax.Array:
     """[N, F] in (canonical node order) -> [N, F] f32 out.  Permutes rows
     into the degree-sorted space, runs the hybrid sweeps, unpermutes.
@@ -1035,8 +1035,6 @@ def spmm_via_pallas_hybrid(
     banded packed kernel (spmm_via_pallas)."""
     m = layout.meta
     f = x.shape[1]
-    if packed is None:
-        packed = False
     xp = jnp.take(x, layout.perm, axis=0)
     if packed:
         xpk = pack_band_features(xp, m.band, m.n_bands)

@@ -120,9 +120,10 @@ def test_onehot_segment_sum_matches_scatter(rng):
 
 
 def test_onehot_segment_sum_grad(rng):
-    """The Pallas kernel's custom VJP (dmsg = oh^T @ g, computed as
-    g^T @ oh in the same one-hot orientation) matches the XLA scatter's
-    gradient — the kernel sits inside the model's backward."""
+    """The Pallas kernel's custom VJP (dmsg = g[ids] — the segment-sum's
+    gradient IS a row gather; zero-filled for out-of-range ids) matches
+    the XLA scatter's gradient — the kernel sits inside the model's
+    backward."""
     import jax
 
     from bliss_gnn_tpu.ops import segment as S
