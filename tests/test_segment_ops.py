@@ -150,3 +150,39 @@ def test_onehot_segment_sum_grad(rng):
     finally:
         S.ONEHOT_SEGMENT_INTERPRET = old
     np.testing.assert_allclose(g_k, g_ref, rtol=2e-2, atol=2e-1)
+
+
+def test_onehot_segment_sum_grad_out_of_range_ids_zero(rng):
+    """Out-of-range segment ids contribute zero FORWARD (one-hot matches
+    no segment — XLA segment_sum drop semantics) and must get zero
+    GRADIENT: jnp.take's default clamp would silently attribute g[n-1]
+    to them (the bug the zero-fill backward fixes)."""
+    import jax
+
+    from bliss_gnn_tpu.ops import segment as S
+
+    e, f, n = 1 << 15, 128, 96
+    data = jnp.asarray(rng.normal(size=(e, f)), jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, n, e), jnp.int32)
+    ids = ids.at[::7].set(n + 3)  # sentinel out-of-range slots
+    w = jnp.asarray(rng.normal(size=(n, f)), jnp.float32)
+
+    old = S.ONEHOT_SEGMENT_INTERPRET
+    S.ONEHOT_SEGMENT_INTERPRET = True
+    try:
+        out = S.masked_segment_sum(data, ids, n)
+        want = jax.ops.segment_sum(
+            data.astype(jnp.float32), ids, num_segments=n)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(want),
+            rtol=2e-2, atol=2e-1)
+
+        def loss(d):
+            return jnp.sum(
+                S.masked_segment_sum(d, ids, n).astype(jnp.float32) * w)
+
+        g = np.asarray(jax.grad(loss)(data).astype(np.float32))
+    finally:
+        S.ONEHOT_SEGMENT_INTERPRET = old
+    assert np.all(g[::7] == 0), "out-of-range slots must get zero grad"
+    assert np.any(g[1::7] != 0)
