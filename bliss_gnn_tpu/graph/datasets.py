@@ -182,7 +182,7 @@ _PLANETOID_URL = "https://github.com/kimiyoung/planetoid/raw/master/data"
 _PLANETOID_SUFFIXES = ("x", "y", "tx", "ty", "allx", "ally", "graph",
                        "test.index")
 _DGL_DATA_URL = "https://data.dgl.ai/dataset"
-_OGB_URL = "http://snap.stanford.edu/ogb/data/nodeproppred"
+_OGB_URL = "https://snap.stanford.edu/ogb/data/nodeproppred"
 # zip -> extracted dir -> final dir expected by _load_ogb
 _OGB_ZIPS = {
     "ogbn-arxiv": ("arxiv.zip", "arxiv", "ogbn_arxiv"),
@@ -198,15 +198,53 @@ def download_allowed() -> bool:
     return os.environ.get("BLISS_ALLOW_DOWNLOAD", "0") == "1"
 
 
+# Pinned sha256 digests per archive/file basename.  The reference's ogb
+# loader md5-checks its downloads; dgl.data does not.  This build
+# environment has no egress, so real digests could never be computed
+# here — the table ships empty and verification activates per-entry the
+# moment a pin is added (fill it from a networked machine with
+# `sha256sum <archive>` before first production use).  With
+# BLISS_REQUIRE_CHECKSUM=1, unpinned archives are refused outright.
+_ARCHIVE_SHA256: dict = {
+    # "reddit.zip": "<sha256>", "arxiv.zip": "<sha256>", ...
+}
+
+
+def _verify_sha256(path: str, expect: str):
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 22), b""):
+            h.update(chunk)
+    got = h.hexdigest()
+    if got != expect:
+        os.remove(path)
+        raise RuntimeError(
+            f"checksum mismatch for {path}: expected {expect}, got {got} "
+            f"(file removed; possible corruption or tampering)"
+        )
+
+
 def _fetch(url: str, dest: str):
-    """Stream one URL to dest (bounded memory, atomic rename)."""
+    """Stream one URL to dest (bounded memory, atomic rename); verify a
+    pinned sha256 when one exists for the basename."""
     import shutil
     import urllib.request
 
+    base = os.path.basename(dest)
+    pin = _ARCHIVE_SHA256.get(base)
+    if pin is None and os.environ.get("BLISS_REQUIRE_CHECKSUM", "0") == "1":
+        raise RuntimeError(
+            f"BLISS_REQUIRE_CHECKSUM=1 but no pinned sha256 for '{base}' "
+            f"in _ARCHIVE_SHA256 — refusing unverifiable download"
+        )
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     tmp = dest + ".part"
     with urllib.request.urlopen(url, timeout=60) as r, open(tmp, "wb") as f:
         shutil.copyfileobj(r, f, length=1 << 22)
+    if pin is not None:
+        _verify_sha256(tmp, pin)
     os.replace(tmp, dest)
 
 

@@ -113,7 +113,15 @@ def _maybe_onehot_segment_sum(data, ids, num_segments):
     from bliss_gnn_tpu.ops import segsum_pallas
 
     if ONEHOT_SEGMENT_INTERPRET and jax.default_backend() != "tpu":
-        segsum_pallas.INTERPRET = True  # CPU test hook
+        # CPU test hook: interpret mode only for THIS call — save/restore
+        # so interpret does not leak to later onehot_segment_sum calls
+        # after a test resets ONEHOT_SEGMENT_INTERPRET
+        prev = segsum_pallas.INTERPRET
+        segsum_pallas.INTERPRET = True
+        try:
+            return segsum_pallas.onehot_segment_sum(data, ids, num_segments)
+        finally:
+            segsum_pallas.INTERPRET = prev
     return segsum_pallas.onehot_segment_sum(data, ids, num_segments)
 
 
@@ -161,12 +169,17 @@ def _gather_rows(x, idx, n_rows):
     """jnp.take whose VJP routes through masked_segment_sum: XLA's
     autodiff of take is a 2-D scatter-add (measured 1.23 ms on the l0
     block's [100k, 256] message gradient, trace fusion.121) where the
-    one-hot MXU segment-sum runs it in ~0.35 ms."""
-    return jnp.take(x, idx, axis=0)
+    one-hot MXU segment-sum runs it in ~0.35 ms.
+
+    Out-of-range ids read ZERO forward (mode="fill") so the forward
+    matches the backward's drop semantics (masked_segment_sum drops OOB
+    segment ids) — the default clip mode would give an unmasked OOB
+    index a forward contribution from the last row but zero gradient."""
+    return jnp.take(x, idx, axis=0, mode="fill", fill_value=0)
 
 
 def _gather_rows_fwd(x, idx, n_rows):
-    return jnp.take(x, idx, axis=0), idx
+    return jnp.take(x, idx, axis=0, mode="fill", fill_value=0), idx
 
 
 def _gather_rows_bwd(n_rows, idx, g):

@@ -347,6 +347,8 @@ class Trainer:
         self._stop = False
         self._epochs_since_improve = 0
         self._steps_since_renorm = 0
+        self.checkpoint_failures = 0
+        self._checkpoint_saved = False
         if cfg.shard_graph:
             from bliss_gnn_tpu.parallel.shardedstep import make_sharded_renorm
 
@@ -916,6 +918,12 @@ class Trainer:
             self._epochs_since_improve += 1
 
     def _save_checkpoint(self):
+        """Persist the best state.  Failures are LOUD: warn on the first
+        one, count every one into the `checkpoint_failures` metric
+        stream, and final_eval raises if checkpointing was enabled but
+        nothing was ever persisted — a run whose ModelCheckpoint
+        silently died must not report success (the reference's Lightning
+        ModelCheckpoint would raise, train_lightning.py:622-625)."""
         try:
             import orbax.checkpoint as ocp
 
@@ -923,8 +931,18 @@ class Trainer:
             ckptr = ocp.StandardCheckpointer()
             ckptr.save(path, self.best_state, force=True)
             ckptr.wait_until_finished()
-        except Exception as e:  # pragma: no cover
-            print(f"[checkpoint] save failed: {e}")
+            self._checkpoint_saved = True
+        except Exception as e:
+            self.checkpoint_failures += 1
+            if self.checkpoint_failures == 1:
+                warnings.warn(
+                    f"[checkpoint] save failed (will keep training; "
+                    f"final_eval raises if no checkpoint ever lands): {e}"
+                )
+            self.logger.log(
+                self.global_step,
+                {"checkpoint_failures": float(self.checkpoint_failures)},
+            )
 
     def restore_best(self):
         """Reload the best-val_acc state for final eval
@@ -983,6 +1001,18 @@ class Trainer:
         """Full-graph layerwise inference + micro-F1 per split
         (train_lightning.py:686-705)."""
         cfg = self.cfg
+        if (
+            not cfg.disable_checkpoint
+            and self.checkpoint_failures > 0
+            and not self._checkpoint_saved
+        ):
+            raise RuntimeError(
+                f"checkpointing was enabled but every save failed "
+                f"({self.checkpoint_failures} failures) — the best state "
+                f"was never persisted; refusing to report a successful "
+                f"run (pass disable_checkpoint to train without "
+                f"persistence)"
+            )
         heads = tuple(
             [cfg.num_in_heads] * (cfg.num_layers - 1) + [cfg.num_out_heads]
         )

@@ -331,3 +331,68 @@ def test_loaders_feed_training(data_root):
     )(jax.random.PRNGKey(0))
     assert len(blocks) == 2
     assert int(stats["layer0/n_selected"]) > 0
+
+
+def test_fetch_verifies_pinned_sha256(tmp_path, monkeypatch):
+    """_fetch verifies a pinned sha256 before the atomic rename: a
+    mismatching payload is rejected and removed (the reference's ogb
+    loader md5-checks its downloads); unpinned archives are refused
+    under BLISS_REQUIRE_CHECKSUM=1."""
+    import hashlib
+    import io
+    import urllib.request
+
+    payload = b"graph bytes"
+
+    def fake_urlopen(url, timeout=None):
+        class _R(io.BytesIO):
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        return _R(payload)
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+    # correct pin -> file lands
+    good = hashlib.sha256(payload).hexdigest()
+    monkeypatch.setitem(ds._ARCHIVE_SHA256, "good.zip", good)
+    dest = tmp_path / "d" / "good.zip"
+    ds._fetch("https://example.test/good.zip", str(dest))
+    assert dest.read_bytes() == payload
+
+    # wrong pin -> raise, nothing left behind
+    monkeypatch.setitem(ds._ARCHIVE_SHA256, "bad.zip", "0" * 64)
+    bad = tmp_path / "d" / "bad.zip"
+    with pytest.raises(RuntimeError, match="checksum mismatch"):
+        ds._fetch("https://example.test/bad.zip", str(bad))
+    assert not bad.exists() and not (tmp_path / "d" / "bad.zip.part").exists()
+
+    # strict mode refuses unpinned basenames before any bytes move
+    monkeypatch.setenv("BLISS_REQUIRE_CHECKSUM", "1")
+    with pytest.raises(RuntimeError, match="no pinned sha256"):
+        ds._fetch("https://example.test/unpinned.zip", str(tmp_path / "u.zip"))
+
+
+def test_gather_rows_oob_forward_matches_backward_drop():
+    """ops.segment._gather_rows: out-of-range ids read ZERO forward and
+    get zero gradient — forward-drop / backward-drop parity (the old
+    clip-mode forward contributed the last row with no gradient)."""
+    import jax
+    import jax.numpy as jnp
+    from bliss_gnn_tpu.ops.segment import _gather_rows
+
+    x = jnp.arange(12.0, dtype=jnp.float32).reshape(4, 3)
+    idx = jnp.array([0, 3, 4, 99], dtype=jnp.int32)  # 4 and 99 are OOB
+    out = _gather_rows(x, idx, 4)
+    np.testing.assert_array_equal(np.asarray(out[2]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out[3]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(x[3]))
+
+    g = jax.grad(lambda x: _gather_rows(x, idx, 4).sum())(x)
+    expect = np.zeros((4, 3), np.float32)
+    expect[0] = 1.0
+    expect[3] = 1.0
+    np.testing.assert_array_equal(np.asarray(g), expect)

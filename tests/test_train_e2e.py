@@ -23,7 +23,7 @@ def _mk(tmp_path, **kw):
         fan_out=(32, 16), batch_size=32, num_hidden=32, num_layers=2,
         lr=0.01, num_epochs=kw.pop("num_epochs", 6),
         logdir=str(tmp_path), lr_step_size=100,
-        disable_checkpoint=True, **kw,
+        disable_checkpoint=kw.pop("disable_checkpoint", True), **kw,
     )
     return Trainer(cfg, graph=g, n_classes=nc, multilabel=ml)
 
@@ -196,3 +196,64 @@ def test_resume_from_checkpoint(tmp_path):
     )
     tr2.fit()
     assert tr2.global_step > saved_step
+
+
+def test_checkpoint_failure_is_loud(tmp_path, monkeypatch):
+    """A run whose checkpoint writer is broken must not report success:
+    first failure warns, every failure is counted into the
+    `checkpoint_failures` metric stream, and final_eval raises when
+    nothing was ever persisted (reference: Lightning's ModelCheckpoint
+    raises, train_lightning.py:622-625)."""
+    import orbax.checkpoint as ocp
+
+    class _BrokenCheckpointer:
+        def save(self, *a, **k):
+            raise IOError("disk on fire")
+
+        def wait_until_finished(self):
+            pass
+
+    monkeypatch.setattr(ocp, "StandardCheckpointer", _BrokenCheckpointer)
+    tr = _mk(tmp_path, num_epochs=2, disable_checkpoint=False)
+    with pytest.warns(UserWarning, match="checkpoint"):
+        tr.fit()
+    assert tr.checkpoint_failures > 0
+    assert not tr._checkpoint_saved
+    with pytest.raises(RuntimeError, match="never persisted"):
+        tr.final_eval()
+    # the failure count reached the metric stream
+    import csv, os
+
+    tr.logger.flush()
+    rows = list(csv.DictReader(open(os.path.join(tr.run_dir, "metrics.csv"))))
+    assert any(r["name"] == "checkpoint_failures" for r in rows)
+
+
+def test_checkpoint_failure_tolerated_once_one_save_landed(tmp_path, monkeypatch):
+    """Failures AFTER a successful persist degrade (stale best on disk)
+    but don't raise — only a run with zero persisted checkpoints is
+    refused."""
+    import orbax.checkpoint as ocp
+
+    real = ocp.StandardCheckpointer
+    calls = {"n": 0}
+
+    class _FlakyCheckpointer:
+        def __init__(self):
+            self._inner = real()
+
+        def save(self, *a, **k):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise IOError("disk on fire")
+            return self._inner.save(*a, **k)
+
+        def wait_until_finished(self):
+            return self._inner.wait_until_finished()
+
+    monkeypatch.setattr(ocp, "StandardCheckpointer", _FlakyCheckpointer)
+    tr = _mk(tmp_path, num_epochs=4, disable_checkpoint=False)
+    tr.fit()
+    assert tr._checkpoint_saved
+    res = tr.final_eval()  # must not raise
+    assert "Train" in res
