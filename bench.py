@@ -495,8 +495,51 @@ def _bench_step(indptr, csc_src):
         ts.append(time.perf_counter() - t0 - DISPATCH_OVERHEAD_S)
     step_ms = min(ts) * 1e3
     _log(f"step {step_ms:.0f} ms, sampling {sampling_ms:.0f} ms")
-    return {"step_ms": round(step_ms, 1),
-            "sampling_ms": round(sampling_ms, 1)}
+    out = {"step_ms": round(step_ms, 1),
+           "sampling_ms": round(sampling_ms, 1)}
+    out.update(_comm_accounting(tight, step_ms))
+    return out
+
+
+def _comm_accounting(tight, step_ms):
+    """Communication accounting + analytic weak-scaling prediction for the
+    DP step at the MEASURED refit caps (VERDICT r4 ask #3b): a CPU
+    subprocess lowers the same fused DP step over a virtual 8-device mesh
+    abstractly and extracts the collective byte counts from the module
+    (scripts/comm_account.py; model arithmetic in
+    parallel/commstats.predicted_scaling_pct).  This replaces the
+    retracted wall-clock virtual-mesh number with honest accounting: the
+    bytes are the real program's, only the time model is analytic."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    args = json.dumps({
+        "frontier": list(tight.frontier_caps),
+        "block_e": list(tight.block_e_caps),
+        "n_nodes": N_NODES, "n_edges": N_EDGES, "n_feats": N_FEATS,
+        "step_ms": round(step_ms, 2),
+    })
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(root, "scripts", "comm_account.py"),
+             args],
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=root,
+        )
+        line = r.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+        _log(f"dp comm {d['dp_comm_bytes_per_step']/1e6:.1f} MB/step/dev, "
+             f"predicted scaling {d.get('dp_predicted_scaling_pct_8')}% @8")
+        return {k: d[k] for k in
+                ("dp_comm_bytes_per_step", "dp_predicted_scaling_pct_8")
+                if k in d}
+    except Exception as e:  # accounting must never sink the bench
+        _log(f"comm accounting failed: {e}")
+        return {}
 
 
 # train steps per chained dispatch of the ttvf1 workload (also the step

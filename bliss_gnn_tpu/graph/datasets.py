@@ -479,6 +479,119 @@ def _npz_member_memmap(npz_path: str, member: str) -> np.ndarray:
     return np.load(sidecar, mmap_mode="r")
 
 
+def sbm_graph(
+    n_nodes: int,
+    n_edges: int,
+    n_feats: int,
+    n_classes: int,
+    multilabel: bool = False,
+    seed: int = 0,
+    n_blocks: int = 50,
+    intra: float = 0.8,
+    power: float = 0.8,
+    block_power: float = 1.2,
+    feature_noise: float = 2.0,
+) -> Tuple[Graph, int, bool]:
+    """Degree-corrected stochastic block model: the community-structured
+    synthetic family.
+
+    Every layout statistic behind the SpMM kernel routing (dense-block
+    coverage at dense_t=300, equal-src run lengths, hybrid-vs-packed
+    crossovers, refit caps) was originally measured on ONE generator
+    (``synthetic_graph``: power-law popularity, label-independent
+    structure).  Real Reddit is a *community* graph — its (256x256)
+    block-density statistics after a locality reorder can differ
+    materially.  This generator plants ``n_blocks`` communities with
+    Zipf-skewed sizes (``block_power``), per-node Zipf degree propensity
+    (``power``, degree-corrected SBM), and routes ``intra`` of the edges
+    inside their community; labels follow a node's community (mod
+    ``n_classes``) so the structure is homophilous like real
+    citation/social graphs.  Node ids are SHUFFLED at the end — community
+    membership is latent, exactly the situation a locality/community
+    reorder (spmm_pallas layout) has to recover.
+
+    Reference datasets this stands in for: load_graph.py:11-22.
+    """
+    rng = np.random.default_rng(seed)
+    # Zipf-skewed community sizes
+    bw = 1.0 / np.arange(1, n_blocks + 1) ** block_power
+    bw /= bw.sum()
+    node_comm = rng.choice(n_blocks, size=n_nodes, p=bw)
+    # degree-corrected: per-node propensity ~ Zipf (heavy tail like
+    # Reddit), capped so no node's expected degree exceeds ~21k at
+    # Reddit's edge count (same realism cap as bench.build_graph — an
+    # unbounded zipf puts ~10% of all edges on one node, which no real
+    # graph does and which distorts every layout statistic)
+    theta = rng.zipf(1.0 + power, size=n_nodes).astype(np.float64)
+    max_frac = 21_000.0 / 114_848_857.0  # Reddit cap / Reddit edges
+    for _ in range(8):  # clipping shifts the sum; iterate to fixpoint
+        cap = max_frac * theta.sum()
+        if theta.max() <= cap:
+            break
+        theta = np.minimum(theta, cap)
+    # per-community node lists + normalized propensities
+    order = np.argsort(node_comm, kind="stable")
+    comm_sorted = node_comm[order]
+    starts = np.searchsorted(comm_sorted, np.arange(n_blocks))
+    ends = np.searchsorted(comm_sorted, np.arange(n_blocks), side="right")
+    comm_mass = np.array(
+        [theta[order[s:e]].sum() if e > s else 0.0
+         for s, e in zip(starts, ends)]
+    )
+    # intra edges: community per edge ~ its propensity mass, endpoints
+    # ~ theta within the community; inter edges: endpoints ~ theta global
+    n_intra = int(round(intra * n_edges))
+    pm = comm_mass / comm_mass.sum()
+    intra_counts = rng.multinomial(n_intra, pm)
+    src_parts, dst_parts = [], []
+    for c in range(n_blocks):
+        m = intra_counts[c]
+        if m == 0 or ends[c] <= starts[c]:
+            continue
+        nodes_c = order[starts[c] : ends[c]]
+        p_c = theta[nodes_c] / theta[nodes_c].sum()
+        src_parts.append(rng.choice(nodes_c, size=m, p=p_c))
+        dst_parts.append(rng.choice(nodes_c, size=m, p=p_c))
+    n_inter = n_edges - sum(len(p) for p in src_parts)
+    if n_inter > 0:
+        pg = theta / theta.sum()
+        src_parts.append(rng.choice(n_nodes, size=n_inter, p=pg))
+        dst_parts.append(rng.choice(n_nodes, size=n_inter, p=pg))
+    src = np.concatenate(src_parts)
+    dst = np.concatenate(dst_parts)
+    # latent communities: shuffle the id space so degree-sorting alone
+    # cannot see the block structure
+    relabel = rng.permutation(n_nodes)
+    src = relabel[src]
+    dst = relabel[dst]
+    labels_int = np.empty(n_nodes, dtype=np.int64)
+    labels_int[relabel] = node_comm % n_classes
+    protos = rng.normal(size=(n_classes, n_feats)).astype(np.float32)
+    feats = protos[labels_int] + rng.normal(
+        scale=feature_noise, size=(n_nodes, n_feats)
+    ).astype(np.float32)
+    if multilabel:
+        labels = np.zeros((n_nodes, n_classes), dtype=np.float32)
+        labels[np.arange(n_nodes), labels_int] = 1.0
+        extra = rng.integers(0, n_classes, size=n_nodes)
+        labels[np.arange(n_nodes), extra] = 1.0
+    else:
+        labels = labels_int
+    perm = rng.permutation(n_nodes)
+    n_train = int(0.65 * n_nodes)
+    n_val = int(0.1 * n_nodes)
+    masks = {
+        "train_mask": np.zeros(n_nodes, dtype=bool),
+        "val_mask": np.zeros(n_nodes, dtype=bool),
+        "test_mask": np.zeros(n_nodes, dtype=bool),
+    }
+    masks["train_mask"][perm[:n_train]] = True
+    masks["val_mask"][perm[n_train : n_train + n_val]] = True
+    masks["test_mask"][perm[n_train + n_val :]] = True
+    ndata = {"features": feats, "labels": labels, **masks}
+    return Graph(src, dst, n_nodes, ndata=ndata), n_classes, multilabel
+
+
 def bandit_bench_graph(
     n_nodes: int = 19717,
     n_edges: int = 240_000,
@@ -627,6 +740,17 @@ def load_dataset(name: str, seed: int = 0) -> Tuple[Graph, int, bool]:
             for m in ("train_mask", "val_mask", "test_mask"):
                 g.ndata[m] &= labeled
             return g, c, ml
+        if base.startswith("sbm-"):
+            # community-structured family (degree-corrected SBM) at the
+            # named dataset's dimensions — the second generator for
+            # layout statistics (see sbm_graph docstring)
+            sub = base[len("sbm-") :]
+            if sub == "small":
+                return sbm_graph(2000, 20000, 64, 7, seed=seed)
+            if sub in DATASET_STATS:
+                n, e, f, c, ml = DATASET_STATS[sub]
+                return sbm_graph(n, e, f, c, multilabel=ml, seed=seed)
+            raise ValueError(f"unknown sbm synthetic dataset '{name}'")
         hard = base.endswith("-hard")
         if hard:
             base = base[: -len("-hard")]

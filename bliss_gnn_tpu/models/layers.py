@@ -67,11 +67,13 @@ class SAGEConv(nn.Module):
         src_val = fc_neigh(h_src) if lin_before else h_src
         # VJP of the message gather routes through the one-hot MXU
         # segment-sum instead of XLA's 2-D scatter-add (ops/segment.py)
+        nv = block.n_valid_edges()
         msg = _gather_rows(src_val, block.e_src, src_val.shape[0])
         msg = msg * block.e_weight[:, None].astype(self.dtype)
-        agg = masked_segment_sum(msg, block.e_dst, n_dst, block.e_mask)
+        agg = masked_segment_sum(msg, block.e_dst, n_dst, block.e_mask,
+                                 n_valid=nv)
         deg = segment_count(block.e_dst, n_dst, block.e_mask,
-                            dtype=jnp.float32)
+                            dtype=jnp.float32, n_valid=nv)
         agg = agg / jnp.maximum(deg, 1.0)[:, None].astype(self.dtype)
         h_neigh = agg if lin_before else fc_neigh(agg)
         bias = self.param(
@@ -104,19 +106,21 @@ class GraphConv(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, name="weight",
         )
         # src-side norm: out-degrees over kept edges
+        nv = block.n_valid_edges()
         out_deg = segment_count(block.e_src, n_src, block.e_mask,
-                                dtype=jnp.float32)
+                                dtype=jnp.float32, n_valid=nv)
         src_norm = jax.lax.rsqrt(jnp.maximum(out_deg, 1.0)).astype(self.dtype)
         feat = h_src * src_norm[:, None]
         if in_feats > self.out_feats:
             feat = dense(feat)
         msg = _gather_rows(feat, block.e_src, feat.shape[0])
         msg = msg * block.e_weight[:, None].astype(self.dtype)
-        rst = masked_segment_sum(msg, block.e_dst, n_dst, block.e_mask)
+        rst = masked_segment_sum(msg, block.e_dst, n_dst, block.e_mask,
+                                 n_valid=nv)
         if in_feats <= self.out_feats:
             rst = dense(rst)
         in_deg = segment_count(block.e_dst, n_dst, block.e_mask,
-                               dtype=jnp.float32)
+                               dtype=jnp.float32, n_valid=nv)
         dst_norm = jax.lax.rsqrt(jnp.maximum(in_deg, 1.0)).astype(self.dtype)
         rst = rst * dst_norm[:, None]
         if self.activation is not None:
@@ -179,7 +183,8 @@ class GATv2Conv(nn.Module):
         a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
         msg2 = (el * a[..., None].astype(self.dtype)).reshape(-1, H * O)
         rst = masked_segment_sum(
-            msg2, block.e_dst, n_dst, block.e_mask
+            msg2, block.e_dst, n_dst, block.e_mask,
+            n_valid=block.n_valid_edges()
         ).reshape(n_dst, H, O)
         if self.residual:
             in_dst_feats = h_dst.shape[-1]

@@ -42,12 +42,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def maybe_lut_gather(lut: jax.Array, idx: jax.Array) -> jax.Array:
+def maybe_lut_gather(lut: jax.Array, idx: jax.Array,
+                     n_valid: jax.Array | None = None) -> jax.Array:
     """lut_gather on TPU when the LUT fits VMEM and the kernel overhead is
     amortized; jnp.take otherwise.  Output dtype follows the LUT.  Integer
     and boolean LUTs route through the exact int32 kernel (no f32
     round-trip), so arbitrary int32 values — global edge ids, indptr
-    offsets — are safe."""
+    offsets — are safe.  ``n_valid``: see lut_gather."""
     use = (
         jax.default_backend() == "tpu"
         and lut.shape[0] <= MAX_LUT_ELEMS
@@ -60,16 +61,17 @@ def maybe_lut_gather(lut: jax.Array, idx: jax.Array) -> jax.Array:
     # on a 2.4M keep-mask lookup, scripts/probe_kernel_v2.py)
     if jnp.issubdtype(lut.dtype, jnp.integer) or lut.dtype == jnp.bool_:
         out = lut_gather(lut.astype(jnp.int32), idx, elem_dtype=jnp.int32,
-                         flat2d=True)
+                         flat2d=True, n_valid=n_valid)
         if lut.dtype == jnp.bool_:
             return out != 0
         return out.astype(lut.dtype)
     out = lut_gather(lut.astype(jnp.float32), idx, elem_dtype=jnp.float32,
-                     flat2d=True)
+                     flat2d=True, n_valid=n_valid)
     return out.astype(lut.dtype)
 
 
-def maybe_lut_gather_multi(luts, idx: jax.Array):
+def maybe_lut_gather_multi(luts, idx: jax.Array,
+                           n_valid: jax.Array | None = None):
     """K gathers sharing one index list.
 
     Currently per-field passes: an interleaved-LUT kernel (K fields of an
@@ -82,7 +84,7 @@ def maybe_lut_gather_multi(luts, idx: jax.Array):
     amortize it hits Mosaic's 'unsupported shape cast' on [et, 128] ->
     [et, 128/K, K]).  Callers still use this entry point so a future
     select-efficient variant can slot in."""
-    return [maybe_lut_gather(l, idx) for l in luts]
+    return [maybe_lut_gather(l, idx, n_valid=n_valid) for l in luts]
 
 
 def _lut_gather_kernel_roll(et: int, unroll: int):
@@ -122,28 +124,42 @@ def _lut_gather_kernel_roll(et: int, unroll: int):
 
 
 def _lut_gather_kernel(et: int, unroll: int, flat2d: bool = False):
-    def kernel(idx_smem, idx_col, lut_ref, out_ref, msgs_ref):
-        def body(i, _):
-            base = i * unroll
-            for j in range(unroll):
-                msgs_ref[pl.ds(base + j, 1), :] = lut_ref[
-                    pl.ds(idx_smem[base + j] >> 7, 1), :
-                ]
-            return 0
+    def kernel(nv_ref, idx_smem, idx_col, lut_ref, out_ref, msgs_ref):
+        t = pl.program_id(0)
 
-        jax.lax.fori_loop(0, et // unroll, body, 0)
-        rel = idx_col[:, 0] & 127  # [et] sublane-major
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (et, 128), 1)
-        onehot = (lanes == rel[:, None]).astype(msgs_ref.dtype)
-        col = jnp.sum(msgs_ref[:] * onehot, axis=1, keepdims=not flat2d)
-        if flat2d:
-            # emit [et//128, 128] tiles: the in-kernel relayout spares the
-            # consumer an XLA copy of the pathological [M, 1] column layout
-            # (measured 1.9 ms on a 2.4M-slot frontier, scripts/
-            # probe_lut_layout.py)
-            out_ref[:, :] = col.reshape(et // 128, 128)
-        else:
-            out_ref[:, :] = col
+        def live():
+            def body(i, _):
+                base = i * unroll
+                for j in range(unroll):
+                    msgs_ref[pl.ds(base + j, 1), :] = lut_ref[
+                        pl.ds(idx_smem[base + j] >> 7, 1), :
+                    ]
+                return 0
+
+            jax.lax.fori_loop(0, et // unroll, body, 0)
+            rel = idx_col[:, 0] & 127  # [et] sublane-major
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (et, 128), 1)
+            onehot = (lanes == rel[:, None]).astype(msgs_ref.dtype)
+            col = jnp.sum(msgs_ref[:] * onehot, axis=1, keepdims=not flat2d)
+            if flat2d:
+                # emit [et//128, 128] tiles: the in-kernel relayout spares
+                # the consumer an XLA copy of the pathological [M, 1]
+                # column layout (measured 1.9 ms on a 2.4M-slot frontier,
+                # scripts/probe_lut_layout.py)
+                out_ref[:, :] = col.reshape(et // 128, 128)
+            else:
+                out_ref[:, :] = col
+
+        # dynamic tail skip (see scatter_pallas._kernel): tiles wholly past
+        # the caller's contiguous valid prefix zero-fill instead of paying
+        # the sequential row-copy chain
+        @pl.when(t * et < nv_ref[0])
+        def _():
+            live()
+
+        @pl.when(t * et >= nv_ref[0])
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
 
     return kernel
 
@@ -162,12 +178,15 @@ def lut_gather(
     elem_dtype=jnp.float32,
     flat2d: bool = False,
     roll: bool = False,
+    n_valid: jax.Array | None = None,
 ) -> jax.Array:
     """out[i] = lut[idx[i]] in ``elem_dtype`` (f32 or int32 — int32 is
     exact).  M is padded to a tile multiple internally; indices must be
     in-range (mask upstream).  ``flat2d`` emits [et//128, 128] tiles and
     reshapes back — spares consumers the XLA relayout of the [M, 1]
-    column."""
+    column.  ``n_valid``: dynamic contiguous-prefix bound — tiles wholly
+    past it zero-fill instead of gathering (outputs there are masked by
+    every caller)."""
     n = lut.shape[0]
     m = idx.shape[0]
     assert n <= MAX_LUT_ELEMS, f"LUT of {n} too large for VMEM residency"
@@ -200,29 +219,37 @@ def lut_gather(
     kernel = _lut_gather_kernel(et, unroll, flat2d)
     if flat2d:
         out_shape = jax.ShapeDtypeStruct((mp // 128, 128), elem_dtype)
-        out_specs = pl.BlockSpec((et // 128, 128), lambda i: (i, 0),
+        out_specs = pl.BlockSpec((et // 128, 128), lambda i, nv: (i, 0),
                                  memory_space=pltpu.VMEM)
     else:
         out_shape = jax.ShapeDtypeStruct((mp, 1), elem_dtype)
-        out_specs = pl.BlockSpec((et, 1), lambda i: (i, 0),
+        out_specs = pl.BlockSpec((et, 1), lambda i, nv: (i, 0),
                                  memory_space=pltpu.VMEM)
+    if n_valid is None:
+        nv = jnp.full((1,), mp, jnp.int32)
+    else:
+        nv = jnp.minimum(jnp.asarray(n_valid, jnp.int32), mp).reshape(1)
     out = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((et,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((et, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole LUT
-        ],
-        out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((et, 128), elem_dtype)],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((et,), lambda i, nv: (i,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((et, 1), lambda i, nv: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # whole LUT
+            ],
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((et, 128), elem_dtype)],
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(idx_p, idx_p[:, None], lut2d)
+    )(nv, idx_p, idx_p[:, None], lut2d)
     if flat2d:
         return out.reshape(-1)[:m]
     return out[:m, 0]

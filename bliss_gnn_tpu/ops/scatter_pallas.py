@@ -59,7 +59,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(tile: int, unroll: int):
-    def kern(row_ref, lane_ref, val_ref, acc_ref):
+    def kern(nv_ref, row_ref, lane_ref, val_ref, acc_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -78,7 +78,13 @@ def _kernel(tile: int, unroll: int):
                 acc_ref[pl.ds(r, 1), :] = acc_ref[pl.ds(r, 1), :] + onehot
             return 0
 
-        jax.lax.fori_loop(0, tile // unroll, body, 0)
+        # dynamic tail skip: the caller's valid slots are a contiguous
+        # prefix [0, nv) (frontier valid chunks / compacted outputs); the
+        # padded tail carries val=0 so skipping its RMW chain is exact.
+        # Partial tiles still run whole (vals are 0 there).
+        @pl.when(t * tile < nv_ref[0])
+        def _():
+            jax.lax.fori_loop(0, tile // unroll, body, 0)
 
     return kern
 
@@ -91,11 +97,18 @@ def banked_scatter_add(
     tile: int = 8192,
     unroll: int = 8,
     interpret: bool = False,
+    n_valid: jax.Array | None = None,
 ) -> jax.Array:
     """out[n_out] f32 with out[keys[i]] += vals[i].
 
     keys int32 in [0, n_out); vals f32 (zeros on padded/masked slots —
     adding 0 to key 0 is the masking convention, as in masked_segment_sum).
+
+    ``n_valid``: optional dynamic scalar — all non-zero vals live in the
+    contiguous prefix [0, n_valid); tiles beyond it skip their RMW chain
+    entirely (the static capacity runs ~1.25x over the true stream under
+    the refit slack, and this kernel's cost is per-SLOT, so the tail was
+    pure waste).
     """
     e = keys.shape[0]
     e_pad = _round_up(max(e, tile), tile)
@@ -108,18 +121,22 @@ def banked_scatter_add(
     bank = (jnp.arange(e_pad, dtype=jnp.int32) % banks) * n_rows
     row = bank + (keys >> 7)
     lane = keys & 127
+    if n_valid is None:
+        nv = jnp.full((1,), e_pad, jnp.int32)
+    else:
+        nv = jnp.minimum(jnp.asarray(n_valid, jnp.int32), e_pad).reshape(1)
     acc = pl.pallas_call(
         _kernel(tile, unroll),
         out_shape=jax.ShapeDtypeStruct((banks * n_rows, 128), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
+            num_scalar_prefetch=1,
             grid=(e_pad // tile,),
             in_specs=[
-                pl.BlockSpec((tile,), lambda i: (i,),
+                pl.BlockSpec((tile,), lambda i, nv: (i,),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((tile,), lambda i: (i,),
+                pl.BlockSpec((tile,), lambda i, nv: (i,),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((tile,), lambda i: (i,),
+                pl.BlockSpec((tile,), lambda i, nv: (i,),
                              memory_space=pltpu.SMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -128,29 +145,32 @@ def banked_scatter_add(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(row, lane, vals.astype(jnp.float32))
+    )(nv, row, lane, vals.astype(jnp.float32))
     return acc.reshape(banks, n_rows * 128).sum(axis=0)[:n_out]
 
 
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _scatter_add_diff(keys, vals, n_out, banks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _scatter_add_diff(keys, vals, n_valid, n_out, banks):
     return banked_scatter_add(keys, vals, n_out, banks=banks,
-                              interpret=INTERPRET)
+                              interpret=INTERPRET, n_valid=n_valid)
 
 
-def _scatter_add_fwd(keys, vals, n_out, banks):
-    return _scatter_add_diff(keys, vals, n_out, banks), keys
+def _scatter_add_fwd(keys, vals, n_valid, n_out, banks):
+    return _scatter_add_diff(keys, vals, n_valid, n_out, banks), keys
 
 
 def _scatter_add_bwd(n_out, banks, keys, g):
     import numpy as np
 
-    # d/dvals of out[k] += v is g[k]; keys are integral (float0 cotangent)
+    # d/dvals of out[k] += v is g[k]; keys are integral (float0 cotangent).
+    # Slots past n_valid get a (harmless) nonzero cotangent; every caller
+    # masks vals upstream (jnp.where), which zeros those grads.
     return (
         np.zeros(keys.shape, dtype=jax.dtypes.float0),
         jnp.take(g, keys),
+        np.zeros((1,), dtype=jax.dtypes.float0),
     )
 
 
@@ -158,11 +178,13 @@ _scatter_add_diff.defvjp(_scatter_add_fwd, _scatter_add_bwd)
 
 
 def maybe_banked_scatter_add(
-    keys: jax.Array, vals: jax.Array, n_out: int
+    keys: jax.Array, vals: jax.Array, n_out: int,
+    n_valid: jax.Array | None = None,
 ) -> jax.Array | None:
     """The banked kernel when it wins, else None (caller falls back to the
     XLA scatter).  Routes only 1-D float payloads of frontier scale.
-    Differentiable in ``vals`` (custom VJP: the gradient is a gather)."""
+    Differentiable in ``vals`` (custom VJP: the gradient is a gather).
+    ``n_valid``: dynamic contiguous-prefix bound, see banked_scatter_add."""
     banks = 16
     use = (
         (jax.default_backend() == "tpu" or INTERPRET)
@@ -173,4 +195,9 @@ def maybe_banked_scatter_add(
     )
     if not use:
         return None
-    return _scatter_add_diff(keys, vals.astype(jnp.float32), n_out, banks)
+    if n_valid is None:
+        nv = jnp.full((1,), keys.shape[0], jnp.int32)
+    else:
+        nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    return _scatter_add_diff(keys, vals.astype(jnp.float32), nv, n_out,
+                             banks)

@@ -44,6 +44,7 @@ def masked_segment_sum(
     segment_ids: jax.Array,
     num_segments: int,
     mask: Optional[jax.Array] = None,
+    n_valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """sum of data over segments; masked slots contribute zero.
 
@@ -52,12 +53,18 @@ def masked_segment_sum(
     Frontier-scale 1-D float sums route through the Pallas banked
     scatter-add (2.1 vs 5-7 ns/elem — ops/scatter_pallas.py); everything
     else stays on XLA's scatter.
+
+    ``n_valid``: optional dynamic scalar asserting every unmasked slot
+    lives in the contiguous prefix [0, n_valid) — the banked kernel then
+    skips whole tiles past it (the static caps run ~1.25x over the true
+    stream).  Only passed by callers whose masks are prefix-shaped
+    (frontier valid chunks, compact_by_mask outputs).
     """
     data = _mask_data(data, mask)
     ids = _clip_ids(segment_ids, num_segments, mask)
     from bliss_gnn_tpu.ops.scatter_pallas import maybe_banked_scatter_add
 
-    out = maybe_banked_scatter_add(ids, data, num_segments)
+    out = maybe_banked_scatter_add(ids, data, num_segments, n_valid=n_valid)
     if out is not None:
         return out.astype(data.dtype)
     out = _maybe_onehot_segment_sum(data, ids, num_segments)
@@ -247,7 +254,7 @@ def edge_softmax(
 
 
 def segment_count(segment_ids, num_segments, mask=None,
-                  dtype=jnp.int32) -> jax.Array:
+                  dtype=jnp.int32, n_valid=None) -> jax.Array:
     """Per-segment edge counts (in-degrees of a padded edge list).
 
     Counted in f32 so the banked Pallas scatter path applies (1.5-2x the
@@ -256,7 +263,8 @@ def segment_count(segment_ids, num_segments, mask=None,
     count as float pass ``dtype=jnp.float32`` to skip the
     round->int32->float32 conversion passes."""
     ones = jnp.ones(segment_ids.shape[0], dtype=jnp.float32)
-    out = masked_segment_sum(ones, segment_ids, num_segments, mask)
+    out = masked_segment_sum(ones, segment_ids, num_segments, mask,
+                             n_valid=n_valid)
     if dtype == jnp.float32:
         return out
     return jnp.round(out).astype(dtype)

@@ -679,13 +679,26 @@ def build_hybrid_layout(
     et_d: int = 512,
     et: int = 2048,
     dense_t: int = 300,
+    node_perm: Optional[np.ndarray] = None,
 ) -> HybridLayout:
-    """Relabel nodes by descending in-degree, split (win, sub-band) blocks
-    with >= dense_t edges into dense tiles, remainder into the gather
-    layout."""
+    """Relabel nodes (descending in-degree by default; ``node_perm`` —
+    e.g. a community order from graph/reorder.py, or the string "auto"
+    to coverage-select among degree/cluster orders — overrides), split
+    (win, sub-band) blocks with >= dense_t edges into dense tiles,
+    remainder into the gather layout."""
     n_nodes = len(csc_indptr) - 1
     deg = np.diff(csc_indptr)
-    perm = np.argsort(-deg, kind="stable").astype(np.int64)  # new -> old
+    if isinstance(node_perm, str):
+        if node_perm != "auto":
+            raise ValueError(f"node_perm string must be 'auto', got "
+                             f"{node_perm!r}")
+        from bliss_gnn_tpu.graph.reorder import best_perm
+
+        node_perm, _, _ = best_perm(csc_indptr, csc_src, dense_t=dense_t)
+    if node_perm is not None:
+        perm = np.asarray(node_perm, np.int64)  # new -> old
+    else:
+        perm = np.argsort(-deg, kind="stable").astype(np.int64)  # new -> old
     inv = np.empty(n_nodes, np.int64)
     inv[perm] = np.arange(n_nodes)
     dst_old = np.repeat(np.arange(n_nodes, dtype=np.int64), deg)

@@ -67,6 +67,16 @@ class Block:
     def num_src(self) -> jax.Array:
         return jnp.sum(self.src_mask.astype(jnp.int32))
 
+    def n_valid_edges(self) -> jax.Array:
+        """Dynamic scalar: (last set e_mask position) + 1 — the contiguous
+        prefix bound for the Pallas kernels' dynamic tail skip.  For
+        LADIES-family blocks the mask IS a prefix (compact_by_mask), so
+        this equals the kept count; for neighbor/full blocks (scattered
+        masks) it degrades gracefully to the last-edge bound."""
+        e_cap = self.e_mask.shape[0]
+        iota = jnp.arange(1, e_cap + 1, dtype=jnp.int32)
+        return jnp.max(jnp.where(self.e_mask, iota, 0))
+
     def num_dst(self) -> jax.Array:
         return jnp.sum(self.dst_mask.astype(jnp.int32))
 

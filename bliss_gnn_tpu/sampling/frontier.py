@@ -54,6 +54,13 @@ class Frontier(NamedTuple):
     def ck(self) -> int:
         return self.eid.shape[0] // self.chunk_gidx.shape[0]
 
+    def n_valid_slots(self) -> jax.Array:
+        """Dynamic scalar: valid chunks are a contiguous prefix, so every
+        unmasked slot lives in [0, n_valid_chunks * ck).  Feeds the Pallas
+        kernels' dynamic tail skip (the static caps carry ~1.25x refit
+        slack — the tail is pure per-slot waste for scatter/gather)."""
+        return jnp.sum(self.chunk_valid.astype(jnp.int32)) * self.ck
+
 
 def ptr_take(ptr: jax.Array, idx: jax.Array) -> jax.Array:
     """``ptr[idx]`` where ``ptr`` is either a replicated array or a
@@ -296,7 +303,10 @@ def compact_candidates(
     from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
 
     src_cpos = jnp.where(
-        frontier.e_mask, maybe_lut_gather(pos_of_gid, frontier.src_gid), 0
+        frontier.e_mask,
+        maybe_lut_gather(pos_of_gid, frontier.src_gid,
+                         n_valid=frontier.n_valid_slots()),
+        0,
     )
     seed_cpos = jnp.where(
         seeds_mask, jnp.take(pos_of_gid, jnp.where(seeds_mask, seeds, 0)), 0

@@ -288,7 +288,8 @@ def _importance_node_prob(
     else:
         r = edge_prob
     prob = jnp.sqrt(
-        masked_segment_sum(r * r, cand.src_cpos, c_cap, frontier.e_mask)
+        masked_segment_sum(r * r, cand.src_cpos, c_cap, frontier.e_mask,
+                           n_valid=frontier.n_valid_slots())
     )
     if cand.mask is None:  # dense mode: support of the scatter IS the mask
         return prob
@@ -299,7 +300,8 @@ def _uniform_node_prob(frontier: Frontier, cand: Candidates) -> jax.Array:
     """importance_sampling=0 branch: prob 1 for frontier sources, 0 otherwise
     (bandit_sampler.py:77-81, ladies_sampler.py:49-51)."""
     c_cap = cand.gids.shape[0]
-    out_deg = segment_count(cand.src_cpos, c_cap, frontier.e_mask)
+    out_deg = segment_count(cand.src_cpos, c_cap, frontier.e_mask,
+                            n_valid=frontier.n_valid_slots())
     member = out_deg > 0
     if cand.mask is not None:
         member &= cand.mask
@@ -442,8 +444,11 @@ def _build_block(
         maybe_lut_gather_multi,
     )
 
-    keep = frontier.e_mask & maybe_lut_gather(sel, cand.src_cpos)
+    keep = frontier.e_mask & maybe_lut_gather(
+        sel, cand.src_cpos, n_valid=frontier.n_valid_slots()
+    )
     eidx, e_mask_b, n_kept = compact_by_mask(keep, e_blk_cap)
+    nk = jnp.minimum(n_kept, e_blk_cap)
 
     if alpha_w is None:
         alpha_w = edge_w
@@ -451,7 +456,7 @@ def _build_block(
     # (interleaved-LUT gather — the row copy is the cost, not the select)
     e_src_cpos, e_dst_r, eid_r, w_r, alpha_r = maybe_lut_gather_multi(
         [cand.src_cpos, frontier.dst_spos, frontier.eid,
-         edge_w, alpha_w], eidx,
+         edge_w, alpha_w], eidx, n_valid=nk,
     )
     e_dst = jnp.where(e_mask_b, e_dst_r, 0)
     eid = jnp.where(e_mask_b, eid_r, 0)
@@ -460,18 +465,20 @@ def _build_block(
 
     # both candidate-indexed fields in one pass
     e_src_r, p_src_r = maybe_lut_gather_multi(
-        [pos_c, node_prob], e_src_cpos,
+        [pos_c, node_prob], e_src_cpos, n_valid=nk,
     )
     e_src = jnp.where(e_mask_b, e_src_r, 0)
     p_src_edge = p_src_r.astype(jnp.float32)
     wt = jnp.where(p_src_edge > 0, w / jnp.where(p_src_edge > 0, p_src_edge, 1.0), 0.0)
-    d = segment_count(e_dst, n_seed_cap, e_mask_b, dtype=jnp.float32)
+    d = segment_count(e_dst, n_seed_cap, e_mask_b, dtype=jnp.float32,
+                      n_valid=nk)
     if debias == "ladies":
-        wt = wt * maybe_lut_gather(d, e_dst)
+        wt = wt * maybe_lut_gather(d, e_dst, n_valid=nk)
     elif debias == "bandit":
-        wt_sum = masked_segment_sum(wt, e_dst, n_seed_cap, e_mask_b)
+        wt_sum = masked_segment_sum(wt, e_dst, n_seed_cap, e_mask_b,
+                                    n_valid=nk)
         scale = jnp.where(wt_sum > 0, d / jnp.where(wt_sum > 0, wt_sum, 1.0), 0.0)
-        wt = wt * maybe_lut_gather(scale, e_dst)
+        wt = wt * maybe_lut_gather(scale, e_dst, n_valid=nk)
     wt = jnp.where(e_mask_b, wt, 0.0)
 
     # per-src-slot node prob (block.srcdata['node_prob'], bandit_sampler.py:328)

@@ -88,3 +88,28 @@ def test_edata_reindexed_to_canonical_order():
     for i in range(4):
         orig = {(4, 1): 10.0, (2, 0): 20.0, (3, 1): 30.0, (3, 0): 40.0}
         assert g.edata["x"][i] == orig[(s[i], d[i])]
+
+
+def test_sbm_family_planted_communities():
+    """synth-sbm-*: degree-corrected SBM stand-ins (the SECOND layout
+    generator — kernel-routing statistics must not be fit to one
+    generator).  Planted communities => homophilous edges; shuffled ids
+    => community structure is latent in the id space."""
+    import numpy as np
+    from bliss_gnn_tpu.graph.datasets import load_dataset
+
+    g, c, ml = load_dataset("synth-sbm-small")
+    assert g.n_nodes == 2000 and g.n_edges == 20000 and c == 7 and not ml
+    dst = np.repeat(np.arange(g.n_nodes), np.diff(g.csc_indptr))
+    src = np.asarray(g.csc_src)
+    lab = np.asarray(g.ndata["labels"])
+    same = (lab[src] == lab[dst]).mean()
+    assert same > 3.0 / c, f"not homophilous: {same}"
+    # masks partition the nodes
+    m = (g.ndata["train_mask"].astype(int) + g.ndata["val_mask"]
+         + g.ndata["test_mask"])
+    assert (m == 1).all()
+    # determinism
+    g2, _, _ = load_dataset("synth-sbm-small")
+    np.testing.assert_array_equal(np.asarray(g.csc_src),
+                                  np.asarray(g2.csc_src))

@@ -43,9 +43,10 @@ def test_scatter_add_vjp_is_gather():
     keys = jnp.asarray(np.random.default_rng(1).integers(0, 50, 1000),
                        jnp.int32)
     g = jnp.asarray(np.random.default_rng(2).normal(size=50), jnp.float32)
-    key_ct, val_ct = _scatter_add_bwd(50, 8, keys, g)
+    key_ct, val_ct, nv_ct = _scatter_add_bwd(50, 8, keys, g)
     np.testing.assert_allclose(np.asarray(val_ct), np.asarray(g)[keys])
     assert key_ct.dtype == jax.dtypes.float0
+    assert nv_ct.dtype == jax.dtypes.float0
 
 
 def test_maybe_routing_falls_back_on_cpu():
@@ -91,3 +92,45 @@ def test_banked_path_inside_sampler_matches_xla(small_synth, monkeypatch):
                                    np.asarray(gb.e_weight), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(rb.src_node_prob),
                                    np.asarray(gb.src_node_prob), rtol=1e-4)
+
+
+def test_banked_scatter_tail_skip_exact():
+    """n_valid tiles-skip: values past the contiguous valid prefix are
+    zero by the masking convention, so skipping their RMW chain must be
+    exact — including when n_valid is mid-tile (partial tiles still
+    run whole)."""
+    rng = np.random.default_rng(7)
+    e = 4096
+    keys = jnp.asarray(rng.integers(0, 200, e), jnp.int32)
+    vals_np = rng.normal(size=e).astype(np.float32)
+    for nv in (0, 1, 1000, 1024, 1025, 2048, 4096):
+        vals = vals_np.copy()
+        vals[nv:] = 0.0  # the caller's masking convention
+        full = np.zeros(200, np.float32)
+        np.add.at(full, np.asarray(keys), vals)
+        got = banked_scatter_add(
+            jnp.asarray(keys), jnp.asarray(vals), 200, banks=4, tile=1024,
+            interpret=True, n_valid=jnp.int32(nv),
+        )
+        np.testing.assert_allclose(np.asarray(got), full, rtol=1e-5,
+                                   atol=1e-5, err_msg=f"nv={nv}")
+
+
+def test_lut_gather_tail_skip_zero_fills():
+    """Tiles wholly past n_valid zero-fill; the valid prefix is exact."""
+    from bliss_gnn_tpu.ops.gather_pallas import lut_gather
+
+    rng = np.random.default_rng(8)
+    lut = jnp.asarray(rng.normal(size=500).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 500, 6144), jnp.int32)
+    for nv in (0, 100, 2048, 2049, 4096, 6144):
+        got = np.asarray(
+            lut_gather(lut, idx, interpret=True, n_valid=jnp.int32(nv),
+                       flat2d=True)
+        )
+        expect = np.asarray(lut)[np.asarray(idx)]
+        # exact within the valid prefix
+        np.testing.assert_allclose(got[:nv], expect[:nv], err_msg=f"nv={nv}")
+        # fully-skipped tiles (et=2048) are zero
+        first_skipped_tile = -(-max(nv, 1) // 2048) * 2048 if nv > 0 else 0
+        np.testing.assert_array_equal(got[first_skipped_tile:], 0.0)
