@@ -285,6 +285,8 @@ def main():
 
     # default on at full scale only: smoke runs (SCALE != 1) stay quick
     scaling_default = "1" if SCALE == 1.0 else "0"
+    if os.environ.get("BLISS_BENCH_SBM", scaling_default) != "0":
+        result.update(_bench_sbm_spmm())
     if os.environ.get("BLISS_BENCH_SCALING", scaling_default) != "0":
         result.update(_bench_dp_scaling())
     if os.environ.get("BLISS_BENCH_GAT", "1") != "0":
@@ -355,6 +357,92 @@ def _bench_dp_scaling():
     s, e = max((int(a), float(b)) for a, b in effs)
     _log(f"dp weak scaling: {e}% at {s} devices")
     return {"dp_weak_scaling_pct": e, "dp_weak_scaling_devices": s}
+
+
+def _bench_sbm_spmm():
+    """Hybrid SpMM on the COMMUNITY-structured Reddit synth under the
+    coverage-selected node order (VERDICT r4 asks #1/#5: the layout
+    statistics behind the kernel routing were fit to ONE generator, and
+    the reorder lever only exists where community structure does).
+
+    The SBM graph (datasets.sbm_graph: 50 planted Zipf communities,
+    intra=0.8, capped Zipf degrees, shuffled ids) measures 0.858 dense
+    coverage under the degree sort vs 0.907 under the hub-cluster LPA
+    order (scripts/probe_reorder.py); this section times the production
+    kernel under that order.  Everything host-expensive (graph, LPA
+    labels, layout) is disk-cached — first run pays ~10 min once."""
+    import jax.numpy as jnp
+
+    from bliss_gnn_tpu.graph.datasets import sbm_graph
+    from bliss_gnn_tpu.graph.reorder import dense_coverage, locality_perm, \
+        propagate_labels
+    from bliss_gnn_tpu.ops.spmm_pallas import (
+        DeviceHybridLayout,
+        build_hybrid_layout,
+        hybrid_spmm,
+        load_hybrid_layout,
+        save_hybrid_layout,
+    )
+
+    gpath = os.path.join(CACHE, f"sbm_reddit_v1_{N_NODES}_{N_EDGES}.npz")
+    if os.path.exists(gpath):
+        d = np.load(gpath)
+        indptr, csc_src = d["indptr"], d["src"]
+    else:
+        g, _, _ = sbm_graph(N_NODES, N_EDGES, 8, 41, seed=0)
+        indptr = np.asarray(g.csc_indptr)
+        csc_src = np.asarray(g.csc_src)
+        np.savez(gpath, indptr=indptr, src=csc_src)
+    n_edges = len(csc_src)
+    _log(f"sbm graph ready ({n_edges} edges)")
+
+    ppath = os.path.join(CACHE, f"sbm_perm_v1_{N_NODES}_{n_edges}.npy")
+    if os.path.exists(ppath):
+        perm = np.load(ppath)
+    else:
+        labels = propagate_labels(indptr, csc_src, n_iters=4)
+        perm = locality_perm(indptr, csc_src, order="hub-cluster",
+                             labels=labels)
+        np.save(ppath, perm)
+    cov, _ = dense_coverage(indptr, csc_src, perm)
+    _log(f"sbm hub-cluster coverage {cov:.3f}")
+
+    w = np.random.default_rng(1).random(n_edges).astype(np.float32)
+    hpath = os.path.join(CACHE, f"sbm_hybrid_v1_{N_NODES}_{n_edges}.npz")
+    if os.path.exists(hpath):
+        hl = load_hybrid_layout(hpath)
+    else:
+        hl = build_hybrid_layout(indptr, csc_src, w, dense_t=300,
+                                 node_perm=perm)
+        save_hybrid_layout(hpath, hl)
+    m = hl.meta
+    dl = DeviceHybridLayout.from_host(hl)
+    jax.block_until_ready(dl.d_w)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(N_NODES, N_FEATS)).astype(np.float32)
+    f_pad = ((N_FEATS + 127) // 128) * 128
+    xb = jnp.asarray(np.pad(
+        x[hl.perm],
+        ((0, m.n_bands * m.band - N_NODES), (0, f_pad - N_FEATS)),
+    ))
+    acc0 = jnp.zeros((m.n_wins * m.wr, f_pad), jnp.float32)
+    fn = jax.jit(
+        lambda xb, acc, dl, s: hybrid_spmm(xb * (1 + s * 1e-6), dl, acc)[0, 0]
+    )
+    float(fn(xb, acc0, dl, jnp.float32(0)))
+    ts = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        float(fn(xb, acc0, dl, jnp.float32(1 + r)))
+        ts.append(time.perf_counter() - t0 - DISPATCH_OVERHEAD_S)
+    rate = n_edges / min(ts)
+    _log(f"sbm hybrid (hub-cluster order): {rate/1e6:.1f} M edges/s")
+    del dl, xb, acc0
+    return {
+        "spmm_sbm_edges_per_s_M": round(rate / 1e6, 1),
+        "spmm_sbm_coverage": round(cov, 3),
+        "spmm_sbm_sol_frac": round(rate * N_FEATS * 4 / 819e9, 3),
+    }
 
 
 def _bench_gat(indptr, csc_src):
@@ -497,6 +585,33 @@ def _bench_step(indptr, csc_src):
     _log(f"step {step_ms:.0f} ms, sampling {sampling_ms:.0f} ms")
     out = {"step_ms": round(step_ms, 1),
            "sampling_ms": round(sampling_ms, 1)}
+
+    # GAT train step at the SAME Reddit refit caps (VERDICT r4 ask #4:
+    # the kernel number alone was tracked; the fused-step number was
+    # commit-message-only).  Sampling is model-independent (the identical
+    # jitted pass feeds both models), so gat_sampling_ms == sampling_ms
+    # by construction and is emitted for the record.
+    del state, step, metrics
+    gmodel = build_model("gat", 256, 41, 3, num_in_heads=4, num_out_heads=1)
+    gparams = gmodel.init(jax.random.PRNGKey(2), blocks, x)
+    gstate = TrainState(params=gparams, opt_state=tx.init(gparams),
+                        exp3_weights=init_exp3_weights(3, n_edges),
+                        key=jax.random.PRNGKey(3),
+                        step=jnp.zeros((), jnp.int32))
+    gstep = make_train_step(graph, gmodel, tx, cfg, tight, False)
+    gstate, gmetrics = gstep(gstate, seeds, smask, graph)
+    float(gmetrics["train_loss"])
+    _log("gat refit step compiled")
+    ts = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        gstate, gmetrics = gstep(gstate, seeds, smask, graph)
+        float(gmetrics["train_loss"])
+        ts.append(time.perf_counter() - t0 - DISPATCH_OVERHEAD_S)
+    out["gat_step_ms"] = round(min(ts) * 1e3, 1)
+    out["gat_sampling_ms"] = out["sampling_ms"]
+    _log(f"gat step {out['gat_step_ms']} ms")
+    del gstate, gstep
     out.update(_comm_accounting(tight, step_ms))
     return out
 

@@ -59,11 +59,17 @@ def maybe_lut_gather(lut: jax.Array, idx: jax.Array,
     # flat2d: [M//128, 128]-tiled output reshaped back — consumers read it
     # without the XLA relayout of the [M, 1] column (22% faster end-to-end
     # on a 2.4M keep-mask lookup, scripts/probe_kernel_v2.py)
-    if jnp.issubdtype(lut.dtype, jnp.integer) or lut.dtype == jnp.bool_:
+    if lut.dtype == jnp.bool_:
+        # 0/1 values are bf16-exact -> the MXU-select kernel applies: no
+        # [M, 1] relayout operand at all, 1.31x the base kernel at the
+        # keep-mask shape (scripts/probe_lut_mxusel.py)
+        out = lut_gather(lut.astype(jnp.float32), idx,
+                         elem_dtype=jnp.float32, mxusel=True,
+                         n_valid=n_valid)
+        return out != 0
+    if jnp.issubdtype(lut.dtype, jnp.integer):
         out = lut_gather(lut.astype(jnp.int32), idx, elem_dtype=jnp.int32,
                          flat2d=True, n_valid=n_valid)
-        if lut.dtype == jnp.bool_:
-            return out != 0
         return out.astype(lut.dtype)
     out = lut_gather(lut.astype(jnp.float32), idx, elem_dtype=jnp.float32,
                      flat2d=True, n_valid=n_valid)
@@ -123,6 +129,58 @@ def _lut_gather_kernel_roll(et: int, unroll: int):
     return kernel
 
 
+def _lut_gather_kernel_mxusel(et: int, unroll: int):
+    """MXU-select variant: idx arrives ONLY as the SMEM stream plus its
+    natural [et//128, 128] 2-D view (a pure bitcast of the 1-D T(1024)
+    stream — NO [M, 1] relayout copy operand, which costs ~2.5 ms/step
+    at the Reddit refit caps, trace copy.11/copy.26).  Lane extraction
+    runs per 128-row sub-block as one bf16 MXU contraction
+    msgs[128, 128] @ onehot[128, 128] (onehot[l, j] = (idx_row[j] == l))
+    followed by a diagonal mask-reduce — the matmul performs the
+    lane->sublane transpose the VPU cannot do cheaply.  EXACT only for
+    LUT values representable in bf16 (the keep masks' 0/1) — callers
+    gate via bf16_exact."""
+
+    def kernel(nv_ref, idx_smem, idx2d_ref, lut_ref, out_ref, msgs_ref):
+        t = pl.program_id(0)
+
+        def live():
+            def body(i, _):
+                base = i * unroll
+                for j in range(unroll):
+                    msgs_ref[pl.ds(base + j, 1), :] = lut_ref[
+                        pl.ds(idx_smem[base + j] >> 7, 1), :
+                    ]
+                return 0
+
+            jax.lax.fori_loop(0, et // unroll, body, 0)
+            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            eye = sub_iota == jax.lax.broadcasted_iota(
+                jnp.int32, (128, 128), 1
+            )
+            for r in range(et // 128):
+                mb = msgs_ref[r * 128 : (r + 1) * 128, :].astype(
+                    jnp.bfloat16
+                )
+                row = idx2d_ref[r : r + 1, :] & 127  # (1, 128) lane-major
+                onehot = (sub_iota == row).astype(jnp.bfloat16)
+                prod = jnp.dot(mb, onehot,
+                               preferred_element_type=jnp.float32)
+                out_ref[r : r + 1, :] = jnp.sum(
+                    jnp.where(eye, prod, 0.0), axis=0, keepdims=True
+                ).astype(out_ref.dtype)
+
+        @pl.when(t * et < nv_ref[0])
+        def _():
+            live()
+
+        @pl.when(t * et >= nv_ref[0])
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+    return kernel
+
+
 def _lut_gather_kernel(et: int, unroll: int, flat2d: bool = False):
     def kernel(nv_ref, idx_smem, idx_col, lut_ref, out_ref, msgs_ref):
         t = pl.program_id(0)
@@ -167,7 +225,7 @@ def _lut_gather_kernel(et: int, unroll: int, flat2d: bool = False):
 @partial(
     jax.jit,
     static_argnames=("interpret", "et", "unroll", "elem_dtype", "flat2d",
-                     "roll"),
+                     "roll", "mxusel"),
 )
 def lut_gather(
     lut: jax.Array,  # [N] f32 or int32 lookup table
@@ -179,6 +237,7 @@ def lut_gather(
     flat2d: bool = False,
     roll: bool = False,
     n_valid: jax.Array | None = None,
+    mxusel: bool = False,
 ) -> jax.Array:
     """out[i] = lut[idx[i]] in ``elem_dtype`` (f32 or int32 — int32 is
     exact).  M is padded to a tile multiple internally; indices must be
@@ -197,6 +256,35 @@ def lut_gather(
     idx_p = jnp.zeros(mp, jnp.int32).at[:m].set(idx.astype(jnp.int32))
     n_tiles = mp // et
     unroll = math.gcd(unroll, et)
+    if mxusel:
+        if n_valid is None:
+            nv = jnp.full((1,), mp, jnp.int32)
+        else:
+            nv = jnp.minimum(jnp.asarray(n_valid, jnp.int32), mp).reshape(1)
+        out = pl.pallas_call(
+            _lut_gather_kernel_mxusel(et, unroll),
+            out_shape=jax.ShapeDtypeStruct((mp // 128, 128), elem_dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec((et,), lambda i, nv: (i,),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((et // 128, 128), lambda i, nv: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # whole LUT
+                ],
+                out_specs=pl.BlockSpec((et // 128, 128),
+                                       lambda i, nv: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((et, 128), elem_dtype)],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(nv, idx_p, idx_p.reshape(mp // 128, 128), lut2d)
+        return out.reshape(-1)[:m]
     if roll:
         out = pl.pallas_call(
             _lut_gather_kernel_roll(et, unroll),

@@ -67,7 +67,7 @@ def masked_segment_sum(
     out = maybe_banked_scatter_add(ids, data, num_segments, n_valid=n_valid)
     if out is not None:
         return out.astype(data.dtype)
-    out = _maybe_onehot_segment_sum(data, ids, num_segments)
+    out = _maybe_onehot_segment_sum(data, ids, num_segments, n_valid)
     if out is not None:
         return out
     return jax.ops.segment_sum(data, ids, num_segments=num_segments)
@@ -86,7 +86,7 @@ _OH_TILE = 2048
 ONEHOT_SEGMENT_INTERPRET = False  # test hook
 
 
-def _maybe_onehot_segment_sum(data, ids, num_segments):
+def _maybe_onehot_segment_sum(data, ids, num_segments, n_valid=None):
     """Feature-matrix segment-sum as per-tile one-hot MXU contractions:
     onehot[n_seg, et] @ msg[et, F] in bf16 with f32 accumulation
     (strictly better precision than XLA's elementwise bf16
@@ -119,6 +119,8 @@ def _maybe_onehot_segment_sum(data, ids, num_segments):
         return None
     from bliss_gnn_tpu.ops import segsum_pallas
 
+    if n_valid is not None:
+        n_valid = jnp.asarray(n_valid, jnp.int32).reshape(())
     if ONEHOT_SEGMENT_INTERPRET and jax.default_backend() != "tpu":
         # CPU test hook: interpret mode only for THIS call — save/restore
         # so interpret does not leak to later onehot_segment_sum calls
@@ -126,10 +128,11 @@ def _maybe_onehot_segment_sum(data, ids, num_segments):
         prev = segsum_pallas.INTERPRET
         segsum_pallas.INTERPRET = True
         try:
-            return segsum_pallas.onehot_segment_sum(data, ids, num_segments)
+            return segsum_pallas.onehot_segment_sum(data, ids, n_valid,
+                                                    num_segments)
         finally:
             segsum_pallas.INTERPRET = prev
-    return segsum_pallas.onehot_segment_sum(data, ids, num_segments)
+    return segsum_pallas.onehot_segment_sum(data, ids, n_valid, num_segments)
 
 
 def masked_segment_max(

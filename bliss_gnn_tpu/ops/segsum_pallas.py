@@ -45,19 +45,23 @@ def _fwd_kernel(S_pad: int, et: int):
     # ids ride as a (1, 8, et) block of an 8-sublane-replicated slab —
     # a (1, et) block of a [n_tiles, et] array is an illegal TPU block
     # shape (second-to-last dim must be divisible by 8)
-    def kern(ids_ref, msg_ref, acc_ref):
+    def kern(nv_ref, ids_ref, msg_ref, acc_ref):
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        ids = ids_ref[0, 0:1, :]  # (1, et)
-        seg = jax.lax.broadcasted_iota(jnp.int32, (S_pad, et), 0)
-        oh = (seg == ids).astype(jnp.bfloat16)
-        acc_ref[...] += jnp.dot(
-            oh, msg_ref[...], preferred_element_type=jnp.float32
-        )
+        # dynamic tail skip (scatter_pallas._kernel convention): tiles
+        # wholly past the valid prefix carry zero data -> contribute 0
+        @pl.when(t * et < nv_ref[0])
+        def _():
+            ids = ids_ref[0, 0:1, :]  # (1, et)
+            seg = jax.lax.broadcasted_iota(jnp.int32, (S_pad, et), 0)
+            oh = (seg == ids).astype(jnp.bfloat16)
+            acc_ref[...] += jnp.dot(
+                oh, msg_ref[...], preferred_element_type=jnp.float32
+            )
 
     return kern
 
@@ -81,50 +85,61 @@ def _pad_inputs(data: jax.Array, ids: jax.Array, et: int):
     return data, ids3, ep
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def onehot_segment_sum(data: jax.Array, ids: jax.Array, num_segments: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def onehot_segment_sum(data: jax.Array, ids: jax.Array,
+                       n_valid, num_segments: int):
     """sum of bf16 ``data`` [E, F] over ``ids`` segments via per-tile
     one-hot MXU contractions; returns [num_segments, F] in data.dtype
     (f32-accumulated).  F must be a lane multiple (128); padded/masked
-    slots must carry zero data (the masked_segment_sum convention)."""
-    return _fwd(data, ids, num_segments)[0]
+    slots must carry zero data (the masked_segment_sum convention).
+    ``n_valid``: dynamic contiguous-prefix bound (None = all) — edge
+    tiles wholly past it skip their one-hot build + MXU dot."""
+    return _fwd(data, ids, n_valid, num_segments)[0]
 
 
-def _fwd(data, ids, num_segments):
+def _fwd(data, ids, n_valid, num_segments):
     e, f = data.shape
     et = ET
     s_pad = _round_up(num_segments, 16)
     data_p, ids2, ep = _pad_inputs(data, ids, et)
+    if n_valid is None:
+        nv = jnp.full((1,), ep, jnp.int32)
+    else:
+        nv = jnp.minimum(jnp.asarray(n_valid, jnp.int32), ep).reshape(1)
     acc = pl.pallas_call(
         _fwd_kernel(s_pad, et),
         out_shape=jax.ShapeDtypeStruct((s_pad, f), jnp.float32),
-        grid=(ep // et,),
-        in_specs=[
-            pl.BlockSpec((1, 8, et), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((et, f), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((s_pad, f), lambda t: (0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ep // et,),
+            in_specs=[
+                pl.BlockSpec((1, 8, et), lambda t, nv: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((et, f), lambda t, nv: (t, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((s_pad, f), lambda t, nv: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=INTERPRET,
-    )(ids2, data_p.astype(jnp.bfloat16))
-    return acc[:num_segments].astype(data.dtype), (ids, e, f)
+    )(nv, ids2, data_p.astype(jnp.bfloat16))
+    return acc[:num_segments].astype(data.dtype), (ids, e, f, n_valid is None)
 
 
 def _bwd(num_segments, res, g):
     import numpy as np
 
-    ids, e, f = res
+    ids, e, f, nv_was_none = res
     # out-of-range ids contribute ZERO forward (the one-hot matches no
     # segment, same as XLA segment_sum's drop semantics) — their gradient
     # must be zero too, not the clamp-to-last-row jnp.take defaults to
     dmsg = jnp.take(g, ids, axis=0, mode="fill", fill_value=0)
     # ids are integral: float0 cotangent, as jax requires
-    return (dmsg, np.zeros(ids.shape, dtype=jax.dtypes.float0))
+    nv_ct = None if nv_was_none else np.zeros((), dtype=jax.dtypes.float0)
+    return (dmsg, np.zeros(ids.shape, dtype=jax.dtypes.float0), nv_ct)
 
 
 onehot_segment_sum.defvjp(_fwd, _bwd)

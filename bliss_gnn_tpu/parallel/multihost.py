@@ -86,3 +86,56 @@ def global_seed_batch(mesh: Mesh, arr: np.ndarray, axis: str = "dp",
     return multihost_utils.host_local_array_to_global_array(
         arr[tuple(sl)], mesh, spec
     )
+
+
+def global_array(mesh: Mesh, arr, spec, axis: str = "dp"):
+    """Device-put one host-replicated array as a global jax.Array with
+    ``spec`` over the multi-process ``mesh``.
+
+    Every process holds the FULL host value (deterministic same-seed
+    construction — the convention of this test/bench harness); for a
+    dim sharded over ``axis`` each process contributes its contiguous
+    slice, mirroring ``global_seed_batch``.  Single-process: a plain
+    sharded device_put.  This is how the stacked ShardedDeviceGraph
+    leaves ([n_dev, ...], P(axis) on the leading dim) and the sharded
+    EXP3 state cross a real process boundary."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray(arr)
+    dims = list(spec) + [None] * (arr.ndim - len(spec))
+    sl = [slice(None)] * arr.ndim
+    for d, s in enumerate(dims):
+        if s == axis:
+            n = jax.process_count()
+            per = arr.shape[d] // n
+            i = jax.process_index()
+            sl[d] = slice(i * per, (i + 1) * per)
+    return multihost_utils.host_local_array_to_global_array(
+        arr[tuple(sl)], mesh, spec
+    )
+
+
+def global_tree(mesh: Mesh, tree, spec_tree, axis: str = "dp"):
+    """``global_array`` over a pytree with a (possibly prefix) spec
+    pytree — a spec leaf covering a subtree (e.g. the single P() for the
+    whole params dict in shardedstep._state_spec) broadcasts over its
+    leaves, matching shard_map's in_specs semantics.  PartitionSpec
+    leaves are guarded with is_leaf so an empty P() does not dissolve
+    into its tuple elements."""
+    from jax.sharding import PartitionSpec
+
+    is_spec = lambda x: isinstance(x, PartitionSpec)  # noqa: E731
+    specs_full = jax.tree_util.tree_broadcast(
+        spec_tree, tree, is_leaf=is_spec
+    )
+    leaves, treedef = jax.tree.flatten(tree)
+    specs, _ = jax.tree.flatten(specs_full, is_leaf=is_spec)
+    assert len(leaves) == len(specs), (len(leaves), len(specs))
+    out = [global_array(mesh, a, s, axis) for a, s in zip(leaves, specs)]
+    return jax.tree.unflatten(treedef, out)

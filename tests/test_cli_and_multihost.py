@@ -71,7 +71,8 @@ def test_cli_full_flag_surface_parses():
     assert cfg.inference_backend == "hybrid"
 
 
-def _spawn_worker(pid, nproc, port, out, n_local_devices, repo_root):
+def _spawn_worker(pid, nproc, port, out, n_local_devices, repo_root,
+                  mode="dp"):
     import subprocess
     import sys
 
@@ -88,7 +89,7 @@ def _spawn_worker(pid, nproc, port, out, n_local_devices, repo_root):
     return subprocess.Popen(
         [sys.executable, os.path.join(repo_root, "tests",
                                       "multiproc_worker.py"),
-         str(pid), str(nproc), str(port), out],
+         str(pid), str(nproc), str(port), out, mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
 
@@ -147,3 +148,50 @@ def test_multihost_single_process_degradation(monkeypatch):
     assert mesh.devices.size == jax.device_count()
     sl = multihost.local_batch_slice(64)
     assert (sl.start, sl.stop) == (0, 64)  # one process owns everything
+
+
+def test_multiprocess_distributed_shard_graph(tmp_path):
+    """REAL ``jax.distributed`` x SHARDED STORAGE: two OS processes x 2
+    CPU devices run `make_sharded_train_step` — the distributed row
+    gather (all_gather of row requests + reduce-scatter of served rows)
+    and the ownership-filtered EXP3 update crossing actual process
+    boundaries — and must match a single-process 4-device sharded run
+    (which test_shardedstep.py separately proves equivalent to the
+    replicated DP step)."""
+    import json
+    import socket
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    ref_out = str(tmp_path / "ref.json")
+    p = _spawn_worker(0, 1, "0", ref_out, 4, repo_root, mode="shard")
+    out, _ = p.communicate(timeout=600)
+    assert p.returncode == 0, out.decode()[-4000:]
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    dist_out = str(tmp_path / "dist.json")
+    procs = [
+        _spawn_worker(i, 2, port, dist_out, 2, repo_root, mode="shard")
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            o, _ = p.communicate(timeout=600)
+            outs.append(o)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()  # exact PID of a child we spawned
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode()[-4000:]
+
+    ref = json.load(open(ref_out))
+    dist = json.load(open(dist_out))
+    assert ref["n_devices"] == dist["n_devices"] == 4
+    assert dist["step"] == ref["step"] == 3
+    np.testing.assert_allclose(dist["losses"], ref["losses"], rtol=1e-4)
+    np.testing.assert_allclose(dist["param_l1"], ref["param_l1"], rtol=1e-4)
+    np.testing.assert_allclose(dist["exp3_sum"], ref["exp3_sum"], rtol=1e-3)

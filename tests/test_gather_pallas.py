@@ -72,3 +72,21 @@ def test_lut_gather_roll_variant(rng):
             jnp.asarray(lut), jnp.asarray(idx), interpret=True,
             elem_dtype=dt, roll=True))
         np.testing.assert_array_equal(got, want)
+
+
+def test_mxusel_bool_route_exact():
+    """Boolean LUTs route through the MXU-select kernel (no [M,1]
+    operand; bf16-exact for 0/1) — interpret-mode equivalence against
+    numpy, with and without a tail bound."""
+    from bliss_gnn_tpu.ops.gather_pallas import lut_gather
+
+    rng = np.random.default_rng(11)
+    sel = jnp.asarray(rng.integers(0, 2, 700).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 700, 4096), jnp.int32)
+    expect = np.asarray(sel)[np.asarray(idx)]
+    got = np.asarray(lut_gather(sel, idx, interpret=True, mxusel=True))
+    np.testing.assert_array_equal(got, expect)
+    got = np.asarray(lut_gather(sel, idx, interpret=True, mxusel=True,
+                                n_valid=jnp.int32(2048)))
+    np.testing.assert_array_equal(got[:2048], expect[:2048])
+    np.testing.assert_array_equal(got[2048:], 0)

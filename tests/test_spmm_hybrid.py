@@ -106,3 +106,50 @@ def test_hybrid_multitile_blocks_exact(packed):
                                  packed=packed)
     ref = _ref(indptr, csc_src, w[perm], x, n)
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_hybrid_with_cluster_node_perm_exact():
+    """build_hybrid_layout(node_perm=...) — a community order from
+    graph/reorder.py — must be output-identical to the degree-sorted
+    layout (the perm only redistributes edges between the dense and
+    gather tiers; the unpermute restores canonical order)."""
+    import jax.numpy as jnp
+
+    from bliss_gnn_tpu.graph.reorder import locality_perm, propagate_labels
+
+    n, e = 700, 6000
+    indptr, csc_src, w = _mk_graph(n, e, unit_w=True)
+    labels = propagate_labels(indptr, csc_src, n_iters=3)
+    perm = locality_perm(indptr, csc_src, order="hub-cluster",
+                         labels=labels, hub_count=32)
+    layout = build_hybrid_layout(
+        indptr, csc_src, w, band=256, wr=64, sub=64, et_d=128, et=256,
+        dense_t=4, node_perm=perm,
+    )
+    np.testing.assert_array_equal(np.sort(np.asarray(layout.perm)),
+                                  np.arange(n))
+    dl = DeviceHybridLayout.from_host(layout)
+    rng = np.random.default_rng(1)
+    x = rng.integers(-3, 4, (n, 128)).astype(np.float32)
+    out = spmm_via_pallas_hybrid(jnp.asarray(x), dl, n, interpret=True)
+    ref = _ref(indptr, csc_src, w, x, n)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_hybrid_node_perm_auto_smoke():
+    """node_perm='auto' coverage-selects an order host-side and still
+    produces the exact aggregation."""
+    import jax.numpy as jnp
+
+    n, e = 700, 6000
+    indptr, csc_src, w = _mk_graph(n, e, unit_w=True)
+    layout = build_hybrid_layout(
+        indptr, csc_src, w, band=256, wr=64, sub=64, et_d=128, et=256,
+        dense_t=4, node_perm="auto",
+    )
+    dl = DeviceHybridLayout.from_host(layout)
+    rng = np.random.default_rng(1)
+    x = rng.integers(-3, 4, (n, 128)).astype(np.float32)
+    out = spmm_via_pallas_hybrid(jnp.asarray(x), dl, n, interpret=True)
+    ref = _ref(indptr, csc_src, w, x, n)
+    np.testing.assert_array_equal(np.asarray(out), ref)
