@@ -168,7 +168,7 @@ def main():
         save_hybrid_layout,
     )
 
-    hpath = os.path.join(CACHE, f"hybrid_v1_{N_NODES}_{n_edges}_300.npz")
+    hpath = os.path.join(CACHE, f"hybrid_v2_{N_NODES}_{n_edges}_300.npz")
     if os.path.exists(hpath):
         hl = load_hybrid_layout(hpath)
     else:
@@ -176,8 +176,8 @@ def main():
         save_hybrid_layout(hpath, hl)
     m = hl.meta
     _log(f"hybrid layout: {m.dense_edges/n_edges:.0%} edges dense, "
-         f"{m.nt_dense} dense + {hl.gather.meta.nt_per_band} gather "
-         f"tiles/band")
+         f"{m.n_groups} dense groups + {hl.gather.meta.nt_per_band} "
+         f"gather tiles/band")
     dl = DeviceHybridLayout.from_host(hl)
     jax.block_until_ready(dl.d_w)
     _log("layout on device")
@@ -408,7 +408,7 @@ def _bench_sbm_spmm():
     _log(f"sbm hub-cluster coverage {cov:.3f}")
 
     w = np.random.default_rng(1).random(n_edges).astype(np.float32)
-    hpath = os.path.join(CACHE, f"sbm_hybrid_v1_{N_NODES}_{n_edges}.npz")
+    hpath = os.path.join(CACHE, f"sbm_hybrid_v2_{N_NODES}_{n_edges}.npz")
     if os.path.exists(hpath):
         hl = load_hybrid_layout(hpath)
     else:

@@ -138,6 +138,30 @@ class GATv2Conv(nn.Module):
 
     edge_weight multiplication is intentionally absent: the reference
     comments it out (model.py:92-96).
+
+    --- Sampled-block GAT cost budget (r5 trace, Reddit refit caps,
+    bs=256, heads (4,4,1), H*O = 1024 between layers) ---
+    GAT fused step: 71.9 ms device vs SAGE's 44.2; sampling identical
+    (27.8 — model-independent).  The GAT-specific ~28 ms decomposes as:
+      ~11.4 ms  three [E=100k, H*O=1024] bf16 aggregation scatters /
+                gather-VJPs (trace fusion.131/157/158, 3.8 ms each) —
+                the layer-0 message segment-sum and the el/er gather
+                backwards.  These CANNOT ride the existing Pallas
+                routes: the banked scatter is 1-D; the one-hot MXU
+                segment-sum's cost is S*F MAC/edge and at S=3712,
+                F=1024 it measures 4.8 vs XLA's 3.7 ms (r4 trace — the
+                _OH_MAX cap in ops/segment.py encodes exactly this
+                crossover); F-tiling the one-hot (4 passes at F=256)
+                re-pays the one-hot build per pass and models out to a
+                wash, and an F-tiled 2-D banked-RMW scatter models to
+                ~3 ms vs XLA's 3.8 — <= 1 ms/op of headroom, not worth
+                a new kernel family.  XLA is at (modeled) floor here.
+      ~7 ms     loop fusions: leaky_relu + attn dot + head reshapes.
+      the [E, H=4] edge softmax itself (segment max/sum over 4 lanes)
+      is NOT a significant term — the r4 move to 2-D [E, H*O] tensors
+      already removed the 3-D scatter pathology (31.5 -> 26.7 ms
+      fwd+bwd), and the remaining softmax segment ops are minor.
+    Tracked in bench.py as gat_step_ms / gat_sampling_ms.
     """
 
     out_feats: int

@@ -658,30 +658,49 @@ class HybridMeta:
     et_d: int  # dense tile edge slots
     n_bands: int
     n_wins: int
-    nt_dense: int  # dense tiles per band (uniform)
+    nt_dense: int  # dense tiles per GROUP (uniform group width)
     dense_edges: int
     dense_t: int
+    # GROUPED dense sweep (r5): the old per-band tiling padded every band
+    # to the max band's tile count AND put all of a band's tile metadata
+    # in one scalar-prefetch SMEM block — on community graphs the dense
+    # tier concentrates (90% coverage, 150k+ tiles in ONE band = 3 MB of
+    # SMEM vs the 1 MB budget, and a multi-GB padding blowup).  Tiles are
+    # now cut into groups of <= nt_dense tiles (at band AND (win, sub)
+    # block boundaries — w_scratch does not survive a call), each group
+    # tagged with its src band; per-group first_win flags re-fold the
+    # aliased accumulator on a window's first touch within the group.
+    n_groups: int = 0
+    group_band: tuple = ()  # [G] static band id per group
 
 
 @dataclasses.dataclass(frozen=True)
 class HybridLayout:
-    """Degree-sorted hybrid tiling: dense tiles + a base gather layout.
+    """Reordered hybrid tiling: dense tile GROUPS + a base gather layout.
 
-    ``perm[new_id] = old_id`` (descending in-degree); all index arrays are
-    in the NEW node space."""
+    ``perm[new_id] = old_id`` (descending in-degree by default; any
+    locality order via build's node_perm); all index arrays are in the
+    NEW node space."""
 
     meta: HybridMeta
     perm: np.ndarray  # [N] int32
-    # dense tiles, [B, NT] / [B*NT, ...] mirrors BandedLayout's banding
-    d_win: np.ndarray  # [B, NT] int32 window of each dense tile
-    d_sub: np.ndarray  # [B, NT] int32 sub-band of each dense tile
-    d_first_win: np.ndarray  # [B, NT] 1 on first dense tile of a window run
-    d_first_blk: np.ndarray  # [B, NT] 1 on first tile of a (win,sub) block
-    d_last_blk: np.ndarray  # [B, NT] 1 on last tile of a block
-    d_dst_rel: np.ndarray  # [B*NT, 1, ET] int32 dst - win*wr
-    d_src_rel: np.ndarray  # [B*NT, 1, ET] int32 src - band*band_sz - sub*sub_w
-    d_w: np.ndarray  # [B*NT, 1, ET] f32 (0 padding)
+    # dense tiles, [G, NTG] / [G*NTG, ...]; meta.group_band[g] is the src
+    # band every tile of group g reads from
+    d_win: np.ndarray  # [G, NTG] int32 window of each dense tile
+    d_sub: np.ndarray  # [G, NTG] int32 sub-band of each dense tile
+    d_first_win: np.ndarray  # [G, NTG] 1 on first tile of a window run IN THE GROUP
+    d_first_blk: np.ndarray  # [G, NTG] 1 on first tile of a (win,sub) block
+    d_last_blk: np.ndarray  # [G, NTG] 1 on last tile of a block
+    d_dst_rel: np.ndarray  # [G*NTG, 1, ET] int32 dst - win*wr
+    d_src_rel: np.ndarray  # [G*NTG, 1, ET] int32 src - band*band_sz - sub*sub_w
+    d_w: np.ndarray  # [G*NTG, 1, ET] f32 (0 padding)
     gather: BandedLayout  # remainder edges, base banded layout
+
+
+# per-group tile budget: 5 scalar-prefetch arrays x NT_GROUP x 4 B =
+# 160 KB of SMEM per call (1 MB budget); a (win, sub) block is <= wr*sub/
+# et_d = 128 tiles, far below it, so cutting at block boundaries is free
+NT_GROUP = 8192
 
 
 def build_hybrid_layout(
@@ -746,50 +765,73 @@ def build_hybrid_layout(
         ends = np.r_[starts[1:], n_dense]
     else:
         starts = ends = np.array([], np.int64)
-    tiles = []  # (band, win, sub, e0, e1, first_blk, last_blk)
+    # cut (win, sub) blocks into tiles, then tiles into GROUPS of
+    # <= NT_GROUP, never splitting a block (w_scratch is call-local) and
+    # never mixing bands (a group reads one band slab).  Group width
+    # adapts down to the busiest band so small graphs don't pad to 8192.
+    if n_dense:
+        band_tiles = np.zeros(n_bands, np.int64)
+        for s, e in zip(starts, ends):
+            band_tiles[int(db[s])] += -(-(e - s) // et_d)
+        nt = int(min(NT_GROUP, max(band_tiles.max(), 1)))
+    else:
+        nt = 1
+    nt = max(nt, max(1, (wr * sub) // et_d))  # never below one block
+    groups: list = []  # (band_id, [tile, ...])
+    cur_band, cur = -1, []
     for s, e in zip(starts, ends):
         cuts = list(range(s, e, et_d))
-        for ci, c0 in enumerate(cuts):
-            c1 = min(c0 + et_d, e)
-            tiles.append((db[s], dwin[s], dsub[s], c0, c1,
-                          1 if ci == 0 else 0,
-                          1 if ci == len(cuts) - 1 else 0))
-    # group per band, pad to uniform count
-    per_band: dict = {}
-    for t in tiles:
-        per_band.setdefault(int(t[0]), []).append(t)
-    nt = max((len(v) for v in per_band.values()), default=1)
-    B = n_bands
-    d_win = np.zeros((B, nt), np.int32)
-    d_sub = np.zeros((B, nt), np.int32)
-    d_first_win = np.zeros((B, nt), np.int32)
-    d_first_blk = np.ones((B, nt), np.int32)
-    d_last_blk = np.zeros((B, nt), np.int32)
-    d_dst_rel = np.zeros((B * nt, 1, et_d), np.int32)
-    d_src_rel = np.zeros((B * nt, 1, et_d), np.int32)
-    d_w = np.zeros((B * nt, 1, et_d), np.float32)
-    for b in range(B):
-        tl = per_band.get(b, [])
+        btiles = [
+            (db[s], dwin[s], dsub[s], c0, min(c0 + et_d, e),
+             1 if ci == 0 else 0,
+             1 if ci == len(cuts) - 1 else 0)
+            for ci, c0 in enumerate(cuts)
+        ]
+        b = int(db[s])
+        if cur and (b != cur_band or len(cur) + len(btiles) > nt):
+            groups.append((cur_band, cur))
+            cur = []
+        cur_band = b
+        cur.extend(btiles)
+    if cur:
+        groups.append((cur_band, cur))
+    G = max(len(groups), 1)
+    d_win = np.zeros((G, nt), np.int32)
+    d_sub = np.zeros((G, nt), np.int32)
+    d_first_win = np.zeros((G, nt), np.int32)
+    d_first_blk = np.ones((G, nt), np.int32)
+    d_last_blk = np.zeros((G, nt), np.int32)
+    d_dst_rel = np.zeros((G * nt, 1, et_d), np.int32)
+    d_src_rel = np.zeros((G * nt, 1, et_d), np.int32)
+    d_w = np.zeros((G * nt, 1, et_d), np.float32)
+    group_band = []
+    for g, (b, tl) in enumerate(groups):
+        group_band.append(int(b))
         last_win = -1
         for i, (tb, twin, tsub, c0, c1, fb, lb) in enumerate(tl):
-            d_win[b, i] = twin
-            d_sub[b, i] = tsub
-            d_first_win[b, i] = 1 if twin != last_win else 0
+            d_win[g, i] = twin
+            d_sub[g, i] = tsub
+            # first touch of this window WITHIN THIS GROUP folds the
+            # aliased accumulator's HBM value (which already carries any
+            # earlier group's contribution) into the VMEM out block
+            d_first_win[g, i] = 1 if twin != last_win else 0
             last_win = twin
-            d_first_blk[b, i] = fb
-            d_last_blk[b, i] = lb
+            d_first_blk[g, i] = fb
+            d_last_blk[g, i] = lb
             k = c1 - c0
-            row = b * nt + i
+            row = g * nt + i
             d_dst_rel[row, 0, :k] = (ds_dst[c0:c1] - twin * wr)
             d_src_rel[row, 0, :k] = (ds_src[c0:c1] - tb * band - tsub * sub)
             d_w[row, 0, :k] = ds_w[c0:c1]
-        for i in range(len(tl), nt):  # dummies: keep last window resident
-            d_win[b, i] = d_win[b, max(len(tl) - 1, 0)]
+        for i in range(len(tl), nt):  # padding: keep last window resident
+            d_win[g, i] = d_win[g, max(len(tl) - 1, 0)]
         if not tl:
-            # band with no dense tiles: the first dummy must still fold the
-            # aliased accumulator into the output buffer, or the final
-            # flush writes uninitialized VMEM into window 0
-            d_first_win[b, 0] = 1
+            # degenerate all-empty case (no dense edges): a single dummy
+            # group is emitted but hybrid_spmm skips the dense sweep when
+            # n_groups == 0, so these flags never execute
+            d_first_win[g, 0] = 1
+    if not groups:
+        group_band = []
     # --- gather side: remainder through the base builder -----------------
     rem = ~dense_block
     r_src, r_dst, r_w = src[rem], dst[rem], w[rem]
@@ -804,6 +846,7 @@ def build_hybrid_layout(
         n_nodes=n_nodes, n_edges=len(src), band=band, wr=wr, sub=sub,
         et_d=et_d, n_bands=n_bands, n_wins=n_wins, nt_dense=nt,
         dense_edges=int(n_dense), dense_t=dense_t,
+        n_groups=len(groups), group_band=tuple(group_band),
     )
     return HybridLayout(
         meta=meta, perm=perm.astype(np.int64), d_win=d_win, d_sub=d_sub,
@@ -987,8 +1030,9 @@ def hybrid_spmm(
     if acc is None:
         acc = jnp.zeros((m.n_wins * m.wr, acc_f), jnp.float32)
     nt = m.nt_dense
-    for band_id in range(m.n_bands):
-        t0, t1 = band_id * nt, (band_id + 1) * nt
+    for g in range(m.n_groups):
+        band_id = m.group_band[g]
+        t0, t1 = g * nt, (g + 1) * nt
         band_slice = jax.lax.dynamic_slice_in_dim(
             x2d, band_id * m.band, m.band, axis=0
         )
@@ -1027,11 +1071,11 @@ def hybrid_spmm(
             ),
             interpret=interpret,
         )(
-            layout.d_win[band_id],
-            layout.d_first_win[band_id],
-            layout.d_first_blk[band_id],
-            layout.d_last_blk[band_id],
-            layout.d_sub[band_id],
+            layout.d_win[g],
+            layout.d_first_win[g],
+            layout.d_first_blk[g],
+            layout.d_last_blk[g],
+            layout.d_sub[g],
             layout.d_dst_rel[t0:t1],
             layout.d_src_rel[t0:t1],
             layout.d_w[t0:t1],
@@ -1076,8 +1120,11 @@ def spmm_via_pallas_hybrid(
     return jnp.take(out, layout.inv_perm, axis=0)[:n_nodes]
 
 
+# int meta fields persisted per layout file; group_band (a tuple) is
+# stored separately as an array
 _HY_META_KEYS = ("n_nodes", "n_edges", "band", "wr", "sub", "et_d",
-                 "n_bands", "n_wins", "nt_dense", "dense_edges", "dense_t")
+                 "n_bands", "n_wins", "nt_dense", "dense_edges", "dense_t",
+                 "n_groups")
 _BD_META_KEYS = ("n_nodes", "n_edges", "band", "wr", "et", "n_bands",
                  "n_wins", "n_tiles", "nt_per_band")
 
@@ -1094,6 +1141,7 @@ def save_hybrid_layout(path: str, h: HybridLayout) -> None:
         g_tile_win=g.tile_win, g_tile_first=g.tile_first,
         g_src_rel=g.src_rel, g_dst_rel=g.dst_rel, g_edge_w=g.edge_w,
         g_edge_perm=g.edge_perm,
+        hm_group_band=np.asarray(h.meta.group_band, np.int32),
         **{f"gm_{k}": getattr(g.meta, k) for k in _BD_META_KEYS},
         **{f"hm_{k}": getattr(h.meta, k) for k in _HY_META_KEYS},
     )
@@ -1111,7 +1159,10 @@ def load_hybrid_layout(path: str) -> HybridLayout:
         edge_perm=d["g_edge_perm"] if "g_edge_perm" in d
         else np.zeros((0,), np.int64),
     )
-    hmeta = HybridMeta(**{k: int(d[f"hm_{k}"]) for k in _HY_META_KEYS})
+    hmeta = HybridMeta(
+        group_band=tuple(int(v) for v in d["hm_group_band"]),
+        **{k: int(d[f"hm_{k}"]) for k in _HY_META_KEYS},
+    )
     return HybridLayout(
         meta=hmeta, perm=d["perm"], d_win=d["d_win"], d_sub=d["d_sub"],
         d_first_win=d["d_first_win"], d_first_blk=d["d_first_blk"],

@@ -30,47 +30,58 @@ Reference hot loop: bandit_sampler.py:341-367.  Device-trace budget of the
 fused 3-layer poisson-bandit pass at the Reddit refit config (bs=256,
 fanouts 4096/2048/1024; jax.profiler device durations, v5e, 2026-08-21,
 scripts/profile_step.py BLISS_PROF_TRACE_REFIT=1 + trace_report.py —
-truthful where tunnel wall timing is not).  Two r4 changes set the
-current shape: refit slack 1.5->1.25 (frontier caps 2.64M/1.15M/0.19M ->
-2.20M/0.96M/0.16M — every per-slot term scales with the cap) and the
-banked-scatter rerouting at 28k-190k element sizes.  Post-change budget
-(35.2 ms device, down from 44.2):
+truthful where tunnel wall timing is not).  Three r5 changes cut the r4
+budget's 35.2 ms device to 27.8 (wall sample 30 -> 21 ms, step 40 ->
+32):
 
-  14.4 ms  importance-prob segment sums (r_ij^2 by src, the q_j math):
-           banked Pallas scatter-add at 4.0-4.4 ns/elem over 3.32M
-           frontier slots (probed kernel floor 3.9 ns — insensitive to
-           banks/keys/tile, scripts/probe_scatter_tune.py).  Layer-2 and
-           block-build sums sat on XLA's scatter at 7.5-8.7 ns until the
-           MIN_ELEMS=2^14 rerouting (probed 1.5-2x at 28k-190k elems).
-  11.0 ms  keep-mask LUT gathers (sel[src_gid] per frontier slot) at the
-           kernel's probed floor 2.47 ns/idx INCLUDING the [M,1] operand
-           relayout copies (~2.5 ms): the roll variant built to remove
-           that operand measured 0.59x (4.20 vs 2.47 ns/idx,
-           scripts/probe_lut_roll.py — the per-row rotate + diagonal
-           extract costs more than the one-hot select) and was REJECTED;
-           producing the [et,1] lane column in-kernel from SMEM scalars
-           costs ~1 cy/elem, more than the 0.78 ns/idx the copy costs.
-   3.8 ms  block build: 5-field interleaved-LUT gathers of kept edges
-           (at floor) + per-dst d/wt_sum debias sums (banked).
-   1.8 ms  compact_by_mask (keep + extra): dominated by the [out_cap,128]
-           row take feeding the MXU triangular lane prefix — XLA's fast
-           row-gather path, bandwidth-bound.
-   ~3 ms   prob chain: chunked frontier sums/broadcasts (reshape-reduce,
-           ~free), EXP3 grid row takes, Poisson lax.while (0.02 ms — the
-           reference's 50 host syncs/layer, bandit_sampler.py:396-401,
-           cost ~0 here), Gumbel/Bernoulli draws.
-   ~2 ms   assembly glue (masks, pads, src-table concat, stats).
+  (a) DYNAMIC TAIL SKIP: every Pallas kernel on the frontier/block
+      streams (banked scatter, LUT gather, one-hot segsum) takes an
+      n_valid contiguous-prefix bound and skips whole tiles past it —
+      the refit caps carry 1.25x slack that was pure per-slot waste
+      (frontier.n_valid_slots / Block.n_valid_edges / compact counts);
+  (b) MXU-SELECT keep gathers: boolean LUTs route through a kernel
+      taking idx's natural [M/128, 128] bitcast view (NO [M,1] relayout
+      operand — its copies were 2.5 ms of "data formatting") with lane
+      extraction per 128-row sub-block as one bf16 MXU contraction +
+      diagonal reduce, exact for 0/1 (probed 1.31x,
+      scripts/probe_lut_mxusel.py; the r4-rejected roll variant tried
+      to remove the same operand on the VPU and lost);
+  (c) block-build ops bound by the kept count (l0: 56k true vs 100k
+      cap — the gathers/debias sums skip ~44% of their tiles).
 
-  The floor model — every frontier slot pays one banked scatter (3.9 ns)
-  + one keep gather (2.47 ns), plus block-build at kernel floors and the
-  bandwidth-bound compaction — is ~30 ms at these caps, i.e. the pass
-  runs at ~0.86 of the floor of this formulation.  The cost is
-  STRUCTURAL: ~9-10 ns per frontier slot across two src-keyed ops whose
-  keys are arbitrary (CSC order is dst-major), which no chunk trick
-  covers — per-dst quantities ride the ~free reshape-reduce instead.
-  Shrinking further requires fewer frontier slots (tighter refit slack —
-  a robustness trade, the Trainer widens on overflow) or a fused
-  scatter+gather kernel family not yet designed, not tile tuning.
+Post-change budget (27.8 ms device):
+
+  12.9 ms  importance-prob segment sums (r_ij^2 by src, the q_j math):
+           banked Pallas scatter-add, 8.72/3.53/0.66 ms over
+           2.03M/0.88M/0.15M valid-chunk slots = 4.1-4.3 ns/slot
+           (probed isolated floor 3.9 — insensitive to banks/keys/tile,
+           scripts/probe_scatter_tune.py).
+   6.2 ms  keep-mask gathers (sel[src] per slot) on the MXU-select
+           kernel: 4.20/1.68/0.30 ms = 1.9-2.1 ns/slot (probed isolated
+           1.54), no operand copies left (data formatting 2.92 -> 0.37
+           ms total).
+   5.4 ms  custom fusions: compact_by_mask (keep + extra; fusion.16
+           0.66), pad/clamp glue, block-build 5-field LUT gathers.
+   ~3.3 ms prob chain + assembly: chunked frontier sums/broadcasts
+           (reshape-reduce, ~free), EXP3 grid row takes, Poisson
+           lax.while (0.02 ms — the reference's 50 host syncs/layer,
+           bandit_sampler.py:396-401, cost ~0 here), Gumbel/Bernoulli,
+           masks/pads/stats.
+
+  Floor model: every VALID-CHUNK slot (3.06M — chunk-boundary padding
+  inside valid chunks is not skippable at tile granularity) pays one
+  banked scatter (3.9 ns) + one mxusel gather (1.5 ns) = ~16.5 ms, plus
+  block build + compaction ~4 ms and ~2 ms glue => ~23 ms; the pass
+  runs at ~0.83 of that floor.  The remaining structural exits, in
+  order of leverage: (1) the scatter's 3.9 ns/slot is the dominant term
+  and its probe says tile tuning is exhausted — only an algorithmically
+  different per-src aggregation would beat it; (2) chunk width ck=128
+  wastes ~(ck-1)/2 slots per seed of boundary padding (~15-20% of the
+  valid-chunk stream) but is pinned by the [L, R, 128] EXP3 grid row
+  takes; (3) a single fused scatter->select->gather kernel would save
+  only the ~2-3 ms of XLA glue between phases — the two per-slot walks
+  are data-dependent (sel needs the scatter's q) and their per-slot
+  floors remain, so it was not built this round.
 """
 from __future__ import annotations
 

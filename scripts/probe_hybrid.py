@@ -49,48 +49,22 @@ from bliss_gnn_tpu.ops.spmm_pallas import (  # noqa: E402
 
 w = np.random.default_rng(1).random(n_edges).astype(np.float32)
 
-cache = os.path.join(bench.CACHE, f"hybrid_v1_{n_nodes}_{n_edges}_{DENSE_T}_{SUB}_{ET_D}.npz")
-if os.path.exists(cache):
-    d = np.load(cache)
-    from bliss_gnn_tpu.ops.spmm_pallas import BandedLayout, BandedMeta
+cache = os.path.join(bench.CACHE, f"hybrid_v2_{n_nodes}_{n_edges}_{DENSE_T}_{SUB}_{ET_D}.npz")
+from bliss_gnn_tpu.ops.spmm_pallas import (  # noqa: E402
+    load_hybrid_layout,
+    save_hybrid_layout,
+)
 
-    gmeta = BandedMeta(**{k: int(d[f"gm_{k}"]) for k in (
-        "n_nodes", "n_edges", "band", "wr", "et", "n_bands", "n_wins",
-        "n_tiles", "nt_per_band")})
-    gather = BandedLayout(
-        meta=gmeta, tile_win=d["g_tile_win"], tile_first=d["g_tile_first"],
-        src_rel=d["g_src_rel"], dst_rel=d["g_dst_rel"], edge_w=d["g_edge_w"],
-        edge_perm=np.zeros((0,), np.int64))
-    hmeta = HybridMeta(**{k: int(d[f"hm_{k}"]) for k in (
-        "n_nodes", "n_edges", "band", "wr", "sub", "et_d", "n_bands",
-        "n_wins", "nt_dense", "dense_edges", "dense_t")})
-    hl = HybridLayout(
-        meta=hmeta, perm=d["perm"], d_win=d["d_win"], d_sub=d["d_sub"],
-        d_first_win=d["d_first_win"], d_first_blk=d["d_first_blk"],
-        d_last_blk=d["d_last_blk"], d_dst_rel=d["d_dst_rel"],
-        d_src_rel=d["d_src_rel"], d_w=d["d_w"], gather=gather)
+if os.path.exists(cache):
+    hl = load_hybrid_layout(cache)
 else:
     t0 = time.time()
     hl = build_hybrid_layout(indptr, csc_src, w, dense_t=DENSE_T, sub=SUB, et_d=ET_D)
     log(f"hybrid layout built in {time.time()-t0:.0f}s")
-    g = hl.gather
-    np.savez(
-        cache, perm=hl.perm, d_win=hl.d_win, d_sub=hl.d_sub,
-        d_first_win=hl.d_first_win, d_first_blk=hl.d_first_blk,
-        d_last_blk=hl.d_last_blk, d_dst_rel=hl.d_dst_rel,
-        d_src_rel=hl.d_src_rel, d_w=hl.d_w,
-        g_tile_win=g.tile_win, g_tile_first=g.tile_first,
-        g_src_rel=g.src_rel, g_dst_rel=g.dst_rel, g_edge_w=g.edge_w,
-        **{f"gm_{k}": getattr(g.meta, k) for k in (
-            "n_nodes", "n_edges", "band", "wr", "et", "n_bands", "n_wins",
-            "n_tiles", "nt_per_band")},
-        **{f"hm_{k}": getattr(hl.meta, k) for k in (
-            "n_nodes", "n_edges", "band", "wr", "sub", "et_d", "n_bands",
-            "n_wins", "nt_dense", "dense_edges", "dense_t")},
-    )
+    save_hybrid_layout(cache, hl)
 m = hl.meta
 log(f"dense edges {m.dense_edges} ({m.dense_edges/n_edges:.1%}), "
-    f"dense tiles/band {m.nt_dense}, gather tiles/band "
+    f"dense groups {m.n_groups} (x{m.nt_dense} tiles), gather tiles/band "
     f"{hl.gather.meta.nt_per_band}")
 dl = DeviceHybridLayout.from_host(hl)
 jax.block_until_ready(dl.d_w)

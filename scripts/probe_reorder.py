@@ -39,18 +39,29 @@ MEASURED (2026-08-21, this machine, full scale=1.0, dense_t=300):
     cluster      cov=0.899  pred=2.81          dense_blocks=24054
     hub-cluster  cov=0.907  pred=2.77          dense_blocks=24200
   -> LPA recovers all 50 latent communities; the community orders lift
-     dense coverage 0.858 -> 0.907 (predicted ~8% blended-rate gain)
-     AND shrink the dense-block count 38851 -> 24200 (fewer partial
-     tiles, less accumulator traffic).  Coverage is already high under
-     the degree sort because the SBM's src propensity is itself
-     Zipf-heavy (unlike the uniform-src bench graph).  TPU timing of
-     degree vs hub-cluster on this graph: BLISS_PROBE_TPU=1.
+     dense coverage 0.858 -> 0.907 AND shrink the dense-block count
+     38851 -> 24200 (fewer partial tiles, less accumulator traffic).
+     Coverage is already high under the degree sort because the SBM's
+     src propensity is itself Zipf-heavy (unlike the uniform-src bench
+     graph).
+
+  TPU timing (v5e, F=602, single-dispatch scalar-perturbed protocol,
+  grouped dense sweep — the per-band tiling could not even COMPILE
+  these layouts, 3 MB of tile metadata vs the 1 MB SMEM budget):
+    sbm/degree       151.2 M edges/s  (759.6 ms/pass)
+    sbm/hub-cluster  182.8 M edges/s  (628.3 ms/pass)  = 1.21x
+  The measured 1.21x beats the coverage model's 1.08x because fewer,
+  fuller dense blocks also cut partial-tile waste and per-window
+  accumulator traffic — terms the blended-rate model ignores.  At
+  0.537 of stream-SoL the community graph under the community order
+  runs FASTER than the degree-matched synth's 0.507 headline.
 
 Conclusion: the reorder lever is real but graph-dependent — a no-op
-without community structure (proved by invariance above), worth ~8%
-with it.  build_hybrid_layout takes node_perm="auto" which measures
-coverage host-side (cheap, exact) and keeps the degree sort when
-clustering buys nothing.
+without community structure (proved by invariance above), measured
+1.21x with it.  build_hybrid_layout takes node_perm="auto" which
+measures coverage host-side (cheap, exact) and keeps the degree sort
+when clustering buys nothing.  Bench keys: spmm_sbm_edges_per_s_M /
+spmm_sbm_coverage / spmm_sbm_sol_frac.
 """
 import os
 import sys
@@ -100,51 +111,54 @@ def tpu_time(tag, indptr, csc_src, perm, order):
 
     from bliss_gnn_tpu.ops.spmm_pallas import (
         DeviceHybridLayout,
-        band_features,
         build_hybrid_layout,
         hybrid_spmm,
-        unpermute_features,
+        load_hybrid_layout,
+        save_hybrid_layout,
     )
     from bliss_gnn_tpu.utils.logging import enable_compilation_cache
 
     enable_compilation_cache()
+    import bench
+
     n = len(indptr) - 1
     f = 602
     w = np.random.default_rng(1).random(len(csc_src)).astype(np.float32)
     t = time.time()
-    hl = build_hybrid_layout(indptr, csc_src, w, dense_t=DENSE_T,
-                             node_perm=perm)
+    cache = os.path.join(
+        bench.CACHE, f"reorder2_{tag}_{order}_{n}_{len(csc_src)}.npz"
+    )
+    if os.path.exists(cache):
+        hl = load_hybrid_layout(cache)
+    else:
+        hl = build_hybrid_layout(indptr, csc_src, w, dense_t=DENSE_T,
+                                 node_perm=perm)
+        save_hybrid_layout(cache, hl)
     log(f"{tag}/{order}: layout {time.time()-t:.0f}s, "
         f"{hl.meta.dense_edges/hl.meta.n_edges:.1%} dense")
     dl = DeviceHybridLayout.from_host(hl)
     m = hl.meta
     rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
-
-    K = 8
-
-    @jax.jit
-    def chained(x, dl):
-        f_pad = ((f + 127) // 128) * 128
-        out = jnp.zeros((1,), jnp.float32)
-        xi = x
-        for i in range(K):
-            xp = jnp.pad(jnp.take(xi, dl.perm, axis=0),
-                         ((0, m.n_bands * m.band - m.n_nodes),
-                          (0, f_pad - f)))
-            acc = hybrid_spmm(xp, dl)
-            y = acc[: m.n_nodes]
-            out = out + y[0, :1]
-            # distinct inputs each link: perturb with data-dependent scalar
-            xi = x * (1.0 + y[0, 0] * 1e-20 + i * 1e-6)
-        return out
-
-    r = float(chained(x, dl)[0])  # compile+warm
+    f_pad = ((f + 127) // 128) * 128
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    # pre-permute/pad on host (one-time, same as bench)
+    xb = jnp.asarray(np.pad(
+        x[hl.perm],
+        ((0, m.n_bands * m.band - n), (0, f_pad - f)),
+    ))
+    acc0 = jnp.zeros((m.n_wins * m.wr, f_pad), jnp.float32)
+    # single-dispatch, scalar-perturbed inputs (the bench protocol —
+    # distinct inputs defeat the tunnel's memoization; a K-chained jit of
+    # this program overflows SMEM with 8x the scalar-prefetch operands)
+    fn = jax.jit(
+        lambda xb, acc, dl, s: hybrid_spmm(xb * (1 + s * 1e-6), dl, acc)[0, 0]
+    )
+    float(fn(xb, acc0, dl, jnp.float32(0)))  # compile+warm
     ts = []
-    for _ in range(3):
+    for r in range(3):
         t0 = time.time()
-        r = float(chained(x, dl)[0])
-        ts.append((time.time() - t0 - 0.033) / K)
+        float(fn(xb, acc0, dl, jnp.float32(1 + r)))
+        ts.append(time.time() - t0 - 0.033)
     rate = len(csc_src) / min(ts) / 1e6
     log(f"{tag}/{order}: {rate:.1f} M edges/s ({min(ts)*1e3:.1f} ms/pass)")
     return rate

@@ -31,7 +31,7 @@ path = (
     else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".bench_cache",
-        "hybrid_v1_232965_114848857_300.npz",
+        "hybrid_v2_232965_114848857_300.npz",
     )
 )
 d = np.load(path)

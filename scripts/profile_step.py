@@ -227,10 +227,16 @@ log(f"model fwd+bwd (refit blocks): {min(ts)*1e3:.1f} ms")
 from bliss_gnn_tpu.sampling.samplers import exp3_update  # noqa: E402
 
 emb_norms = [jnp.ones(b.n_src_cap, jnp.float32) for b in blocks_t]
+# the GAT reward path additionally consumes per-edge attention logits
+a_ijs = (
+    [jnp.ones(b.e_cap, jnp.float32) for b in blocks_t]
+    if MODEL == "gat" else None
+)
 
 
 def exp3_only(e, blocks, g):
-    return exp3_update(g, cfg, e, blocks, emb_norms, None, normalize=False)
+    return exp3_update(g, cfg, e, blocks, emb_norms, a_ijs,
+                       normalize=False)
 
 
 f_e3 = jax.jit(exp3_only, donate_argnums=0)
@@ -252,7 +258,7 @@ from bliss_gnn_tpu.sampling.samplers import (  # noqa: E402
 
 
 def deltas_only(blocks, g):
-    d = exp3_edge_deltas(g, cfg, blocks, emb_norms, None)
+    d = exp3_edge_deltas(g, cfg, blocks, emb_norms, a_ijs)
     return d
 
 
