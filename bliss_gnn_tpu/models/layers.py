@@ -146,16 +146,18 @@ class GATv2Conv(nn.Module):
       ~11.4 ms  three [E=100k, H*O=1024] bf16 aggregation scatters /
                 gather-VJPs (trace fusion.131/157/158, 3.8 ms each) —
                 the layer-0 message segment-sum and the el/er gather
-                backwards.  These CANNOT ride the existing Pallas
-                routes: the banked scatter is 1-D; the one-hot MXU
-                segment-sum's cost is S*F MAC/edge and at S=3712,
-                F=1024 it measures 4.8 vs XLA's 3.7 ms (r4 trace — the
-                _OH_MAX cap in ops/segment.py encodes exactly this
-                crossover); F-tiling the one-hot (4 passes at F=256)
-                re-pays the one-hot build per pass and models out to a
-                wash, and an F-tiled 2-D banked-RMW scatter models to
-                ~3 ms vs XLA's 3.8 — <= 1 ms/op of headroom, not worth
-                a new kernel family.  XLA is at (modeled) floor here.
+                backwards.  These cannot ride the 1-D banked scatter,
+                and the one-hot MXU segment-sum's S*F MAC/edge cost is
+                3-8x past its cap here (measured 4.8 vs XLA's 3.7 ms at
+                S=3712/F=1024, r4 trace — the _OH_MAX cap in
+                ops/segment.py encodes that crossover).  The r5 2-D
+                banked ROW scatter (ops/rowscatter_pallas.py) was built
+                and MEASURED at 3.44-3.90 ms vs XLA's 4.12-4.20
+                (1.08-1.2x, probe_rowscatter.py — the RMW chain carries
+                an extra (1,128) data load per element, so the 1-D
+                kernel's 3.7 cy/elem becomes ~7 cy/row) and is wired as
+                the route for wide 2-D payloads; the residual is the
+                row-RMW issue floor.
       ~7 ms     loop fusions: leaky_relu + attn dot + head reshapes.
       the [E, H=4] edge softmax itself (segment max/sum over 4 lanes)
       is NOT a significant term — the r4 move to 2-D [E, H*O] tensors

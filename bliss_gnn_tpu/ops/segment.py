@@ -70,6 +70,13 @@ def masked_segment_sum(
     out = _maybe_onehot_segment_sum(data, ids, num_segments, n_valid)
     if out is not None:
         return out
+    from bliss_gnn_tpu.ops.rowscatter_pallas import maybe_row_scatter_add
+
+    # wide-feature 2-D payloads past the one-hot cap (the GAT [E, H*O]
+    # aggregations): banked row scatter, 1.08-1.2x XLA (probe_rowscatter)
+    out = maybe_row_scatter_add(ids, data, num_segments, n_valid=n_valid)
+    if out is not None:
+        return out.astype(data.dtype)
     return jax.ops.segment_sum(data, ids, num_segments=num_segments)
 
 

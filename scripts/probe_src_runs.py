@@ -19,6 +19,14 @@ exactly the high-occupancy (window, sub-band) blocks where src repeats
 concentrate.  REJECTED; recorded in the spmm_pallas.py budget.
 
 Usage: python scripts/probe_src_runs.py [path-to-hybrid-npz]
+
+Re-run on the SBM community family's production layout (r5,
+sbm_hybrid_v2 under the hub-cluster order, VERDICT r4 ask #5 — the
+statistic must not be fit to one generator): 10.64M gather edges,
+9.58M runs -> 1.111 edges/run; zero-marginal-cost ceiling 1.111x on the
+copy term.  Same verdict as the degree-matched synth (1.063): the dense
+extraction removes the repeat-concentrated blocks on BOTH families —
+rejection confirmed generator-independent.
 """
 import os
 import sys

@@ -134,3 +134,45 @@ def test_lut_gather_tail_skip_zero_fills():
         # fully-skipped tiles (et=2048) are zero
         first_skipped_tile = -(-max(nv, 1) // 2048) * 2048 if nv > 0 else 0
         np.testing.assert_array_equal(got[first_skipped_tile:], 0.0)
+
+
+def test_banked_row_scatter_add_exact():
+    """2-D banked row scatter (ops/rowscatter_pallas.py): exact segment
+    sums of feature rows with banking, tail skip, and dst-sorted keys
+    (the GAT aggregation profile, interpret mode)."""
+    from bliss_gnn_tpu.ops.rowscatter_pallas import banked_row_scatter_add
+
+    rng = np.random.default_rng(9)
+    e, f, s = 2048, 256, 24
+    ids = np.sort(rng.integers(0, s, e)).astype(np.int32)
+    data = rng.normal(size=(e, f)).astype(np.float32)
+    for nv in (0, 1200, 2048):
+        d = data.copy()
+        d[nv:] = 0.0
+        i = ids.copy()
+        i[nv:] = 0
+        ref = np.zeros((s, f), np.float32)
+        np.add.at(ref, i, d)
+        got = np.asarray(banked_row_scatter_add(
+            jnp.asarray(i), jnp.asarray(d), s, banks=2, et=1024,
+            n_valid=jnp.int32(nv), interpret=True,
+        ))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4,
+                                   err_msg=f"nv={nv}")
+
+
+def test_row_scatter_vjp_is_row_gather():
+    from bliss_gnn_tpu.ops import rowscatter_pallas as RS
+
+    rng = np.random.default_rng(10)
+    e, f, s = 2048, 256, 24
+    ids = jnp.asarray(rng.integers(0, s, e), jnp.int32)
+    data = jnp.asarray(rng.normal(size=(e, f)).astype(np.float32))
+    old = RS.INTERPRET
+    RS.INTERPRET = True
+    try:
+        g = jax.grad(lambda d: RS._row_scatter_diff(
+            ids, d, jnp.full((1,), e, jnp.int32), s).sum())(data)
+    finally:
+        RS.INTERPRET = old
+    np.testing.assert_allclose(np.asarray(g), 1.0)
