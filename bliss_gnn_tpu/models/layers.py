@@ -156,8 +156,10 @@ class GATv2Conv(nn.Module):
                 (1.08-1.2x, probe_rowscatter.py — the RMW chain carries
                 an extra (1,128) data load per element, so the 1-D
                 kernel's 3.7 cy/elem becomes ~7 cy/row) and is wired as
-                the route for wide 2-D payloads; the residual is the
-                row-RMW issue floor.
+                the route for wide 2-D payloads.  Net GAT-step effect:
+                71.9 -> 70.6 ms device (the op-level win is partly eaten
+                by payload-prep fusions); the residual is the row-RMW
+                issue floor.
       ~7 ms     loop fusions: leaky_relu + attn dot + head reshapes.
       the [E, H=4] edge softmax itself (segment max/sum over 4 lanes)
       is NOT a significant term — the r4 move to 2-D [E, H*O] tensors
