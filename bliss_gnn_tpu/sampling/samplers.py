@@ -77,11 +77,18 @@ Post-change budget (27.8 ms device):
   and its probe says tile tuning is exhausted — only an algorithmically
   different per-src aggregation would beat it; (2) chunk width ck=128
   wastes ~(ck-1)/2 slots per seed of boundary padding (~15-20% of the
-  valid-chunk stream) but is pinned by the [L, R, 128] EXP3 grid row
-  takes; (3) a single fused scatter->select->gather kernel would save
-  only the ~2-3 ms of XLA glue between phases — the two per-slot walks
-  are data-dependent (sel needs the scatter's q) and their per-slot
-  floors remain, so it was not built this round.
+  valid-chunk stream); ck=64 was analyzed and is BLOCKED by the
+  physical lane tiling, not by code: TPU arrays tile T(8,128), so a
+  64-wide grid family ([L, R', 64] EXP3 grid, 64-wide edata grids)
+  would physically pad its lanes to 128 — DOUBLING the EXP3 state's
+  HBM (690 MB -> 1.38 GB) and halving the effective bandwidth of every
+  grid row take — while viewing the existing 128-wide grids as
+  [2R, 64] is a relayout of the whole array (the measured 1.4 ms/call
+  class), not a bitcast.  The boundary-padding slots stay; (3) a single
+  fused scatter->select->gather kernel would save only the ~2-3 ms of
+  XLA glue between phases — the two per-slot walks are data-dependent
+  (sel needs the scatter's q) and their per-slot floors remain, so it
+  was not built this round.
 """
 from __future__ import annotations
 

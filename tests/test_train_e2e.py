@@ -257,3 +257,27 @@ def test_checkpoint_failure_tolerated_once_one_save_landed(tmp_path, monkeypatch
     assert tr._checkpoint_saved
     res = tr.final_eval()  # must not raise
     assert "Train" in res
+
+
+def test_training_on_sbm_community_family(tmp_path):
+    """End-to-end training on the SBM community generator (synth-sbm-*) —
+    the second layout family must flow through the whole pipeline, not
+    just the SpMM probes.  The planted homophilous structure makes
+    neighborhood aggregation genuinely informative, so accuracy must
+    beat chance clearly."""
+    from bliss_gnn_tpu.graph.datasets import load_dataset
+
+    g, nc, ml = load_dataset("synth-sbm-small")
+    g = Graph.canonicalize(g)
+    g.edata["w"] = normalized_edata(g)
+    cfg = TrainConfig(
+        dataset="synth-sbm-small", model="sage", sampler="poisson-bandit",
+        fan_out=(32, 16), batch_size=32, num_hidden=32, num_layers=2,
+        lr=0.01, num_epochs=4, logdir=str(tmp_path), lr_step_size=100,
+        disable_checkpoint=True,
+    )
+    tr = Trainer(cfg, graph=g, n_classes=nc, multilabel=ml)
+    tr.fit()
+    res = tr.final_eval()
+    assert res["Train"] > 0.4, res  # 7 classes -> chance 0.14
+    assert res["Test"] > 0.3, res
