@@ -68,7 +68,8 @@ class SAGEConv(nn.Module):
         # VJP of the message gather routes through the one-hot MXU
         # segment-sum instead of XLA's 2-D scatter-add (ops/segment.py)
         nv = block.n_valid_edges()
-        msg = _gather_rows(src_val, block.e_src, src_val.shape[0])
+        msg = _gather_rows(src_val, block.e_src, src_val.shape[0],
+                           n_valid=nv)
         msg = msg * block.e_weight[:, None].astype(self.dtype)
         agg = masked_segment_sum(msg, block.e_dst, n_dst, block.e_mask,
                                  n_valid=nv)
@@ -113,7 +114,7 @@ class GraphConv(nn.Module):
         feat = h_src * src_norm[:, None]
         if in_feats > self.out_feats:
             feat = dense(feat)
-        msg = _gather_rows(feat, block.e_src, feat.shape[0])
+        msg = _gather_rows(feat, block.e_src, feat.shape[0], n_valid=nv)
         msg = msg * block.e_weight[:, None].astype(self.dtype)
         rst = masked_segment_sum(msg, block.e_dst, n_dst, block.e_mask,
                                  n_valid=nv)
@@ -156,10 +157,12 @@ class GATv2Conv(nn.Module):
                 (1.08-1.2x, probe_rowscatter.py — the RMW chain carries
                 an extra (1,128) data load per element, so the 1-D
                 kernel's 3.7 cy/elem becomes ~7 cy/row) and is wired as
-                the route for wide 2-D payloads.  Net GAT-step effect:
-                71.9 -> 70.6 ms device (the op-level win is partly eaten
-                by payload-prep fusions); the residual is the row-RMW
-                issue floor.
+                the route for wide 2-D payloads.  With the n_valid
+                tail-skip threaded through the gather VJPs too
+                (_gather_rows(n_valid=...)), the three ops measure
+                2.15/2.15/2.22 ms vs XLA's 3.8 each — 1.74x, GAT step
+                71.9 -> 68.7 ms device; the residual is the row-RMW
+                issue floor at the ~56k true kept edges.
       ~7 ms     loop fusions: leaky_relu + attn dot + head reshapes.
       the [E, H=4] edge softmax itself (segment max/sum over 4 lanes)
       is NOT a significant term — the r4 move to 2-D [E, H*O] tensors
@@ -198,9 +201,11 @@ class GATv2Conv(nn.Module):
         # the one-hot MXU/banked kernels
         feat2 = fc(h_src)  # [N_src, H*O], share_weights=True
         attn = self.param("attn", _xavier_relu, (1, H, O), self.param_dtype)
-        el2 = _gather_rows(feat2, block.e_src, feat2.shape[0])
+        nv = block.n_valid_edges()
+        el2 = _gather_rows(feat2, block.e_src, feat2.shape[0], n_valid=nv)
         er2 = _gather_rows(
-            feat2[:n_dst], jnp.clip(block.e_dst, 0, n_dst - 1), n_dst
+            feat2[:n_dst], jnp.clip(block.e_dst, 0, n_dst - 1), n_dst,
+            n_valid=nv,
         )
         el = el2.reshape(-1, H, O)
         e_full = nn.leaky_relu(
@@ -211,8 +216,7 @@ class GATv2Conv(nn.Module):
         a = nn.Dropout(self.attn_drop, deterministic=deterministic)(a)
         msg2 = (el * a[..., None].astype(self.dtype)).reshape(-1, H * O)
         rst = masked_segment_sum(
-            msg2, block.e_dst, n_dst, block.e_mask,
-            n_valid=block.n_valid_edges()
+            msg2, block.e_dst, n_dst, block.e_mask, n_valid=nv
         ).reshape(n_dst, H, O)
         if self.residual:
             in_dst_feats = h_dst.shape[-1]

@@ -182,7 +182,7 @@ import functools
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _gather_rows(x, idx, n_rows):
+def _gather_rows(x, idx, n_rows, n_valid=None):
     """jnp.take whose VJP routes through masked_segment_sum: XLA's
     autodiff of take is a 2-D scatter-add (measured 1.23 ms on the l0
     block's [100k, 256] message gradient, trace fusion.121) where the
@@ -191,19 +191,27 @@ def _gather_rows(x, idx, n_rows):
     Out-of-range ids read ZERO forward (mode="fill") so the forward
     matches the backward's drop semantics (masked_segment_sum drops OOB
     segment ids) — the default clip mode would give an unmasked OOB
-    index a forward contribution from the last row but zero gradient."""
+    index a forward contribution from the last row but zero gradient.
+
+    ``n_valid``: contiguous-prefix bound forwarded to the VJP's
+    segment-sum so the backward scatter skips the caps' slack tail
+    (every consumer masks the gathered rows by the same prefix)."""
     return jnp.take(x, idx, axis=0, mode="fill", fill_value=0)
 
 
-def _gather_rows_fwd(x, idx, n_rows):
-    return jnp.take(x, idx, axis=0, mode="fill", fill_value=0), idx
+def _gather_rows_fwd(x, idx, n_rows, n_valid=None):
+    return (jnp.take(x, idx, axis=0, mode="fill", fill_value=0),
+            (idx, n_valid))
 
 
-def _gather_rows_bwd(n_rows, idx, g):
+def _gather_rows_bwd(n_rows, res, g):
     import numpy as np
 
-    dx = masked_segment_sum(g, idx, n_rows)
-    return (dx, np.zeros(idx.shape, dtype=jax.dtypes.float0))
+    idx, n_valid = res
+    dx = masked_segment_sum(g, idx, n_rows, n_valid=n_valid)
+    nv_ct = (None if n_valid is None
+             else np.zeros(np.shape(n_valid), dtype=jax.dtypes.float0))
+    return (dx, np.zeros(idx.shape, dtype=jax.dtypes.float0), nv_ct)
 
 
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

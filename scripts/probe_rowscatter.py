@@ -22,9 +22,13 @@ MEASURED (2026-08-21, v5e, chained K=16 distinct-input protocol):
   Exactness: allclose rtol 2e-2 vs f32 reference in bf16.
 -> The layers.py budget MODELED this family at ~3 ms vs XLA's 3.8 and
    the measurement agrees (3.44-3.50 vs 4.12): a real but modest
-   1.1-1.2x.  WIRED anyway (ops/segment.py routes wide 2-D payloads
-   past the one-hot cap through it, banks=4) — ~2 ms off the GAT step
-   for a 170-line kernel that reuses the banked-RMW pattern.
+   1.1-1.2x.  WIRED (ops/segment.py routes wide 2-D payloads past the
+   one-hot cap through it, banks=4).  IN SITU the win is larger than
+   this isolated probe because the n_valid tail skip engages (the probe
+   sets n_valid=TRUE but the chain perturbation keeps the full data
+   live): the r5 GAT step trace shows the three [E,1024] aggregations
+   at 2.15/2.15/2.22 ms vs XLA's 3.8 each = 1.74x; GAT step 71.9 ->
+   68.7 ms device.
 """
 import os
 import sys
