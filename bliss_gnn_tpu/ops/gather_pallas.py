@@ -52,7 +52,11 @@ def maybe_lut_gather(lut: jax.Array, idx: jax.Array,
     use = (
         jax.default_backend() == "tpu"
         and lut.shape[0] <= MAX_LUT_ELEMS
-        and idx.shape[0] >= 1 << 16  # kernel overhead beats take only at size
+        # probed break-even (r5, chained K=256 distinct-input timing at
+        # the l1 block-build shape, 22784 idx from a 958k LUT): the
+        # kernel runs 1.57 ns/idx vs XLA take's 5.75 — 3.7x — so the old
+        # 1<<16 gate left the l1 block-build gathers on the slow path
+        and idx.shape[0] >= 1 << 14
     )
     if not use:
         return jnp.take(lut, idx)
