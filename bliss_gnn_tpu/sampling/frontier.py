@@ -130,10 +130,14 @@ def edge_grid(flat: np.ndarray) -> np.ndarray:
 def frontier_seed_broadcast(frontier: Frontier, vals: jax.Array) -> jax.Array:
     """Broadcast a per-seed vector to per-frontier-slot (every slot's dst is
     its chunk's owner seed) at chunk granularity — avoids per-edge scalar
-    gathers for seed-indexed quantities."""
+    gathers for seed-indexed quantities.  The per-chunk take itself rides
+    the LUT kernel at refit chunk counts (l0: 17215 chunks x ~6 XLA
+    scalar takes at 6.6 ns = ~0.66 ms/step, trace fusion.55-62)."""
+    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
+
     ck = frontier.ck
     owner = frontier.chunk_owner
-    per_chunk = jnp.take(vals, owner)
+    per_chunk = maybe_lut_gather(vals, owner)
     return jnp.broadcast_to(
         per_chunk[:, None], (owner.shape[0], ck)
     ).reshape(-1)
@@ -408,7 +412,11 @@ def compact_by_mask(mask: jax.Array, out_cap: int):
         jnp.arange(n_rows, dtype=jnp.int32), mode="drop"
     )
     r_j = jnp.clip(jax.lax.cummax(own0), 0, n_rows - 1)
-    t = jnp.arange(out_cap, dtype=jnp.int32) - jnp.take(bases, r_j)
+    # bases[r_j] as a LUT-kernel gather: XLA's scalar take costs
+    # ~6.6 ns/idx (0.66 ms at the 100k refit compact, trace fusion.16)
+    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
+
+    t = jnp.arange(out_cap, dtype=jnp.int32) - maybe_lut_gather(bases, r_j)
     keeprow = jnp.take(rows, r_j, axis=0)  # [out_cap, 128]
     # lane-axis prefix count via ONE MXU contraction with an upper-
     # triangular ones matrix — XLA lowers jnp.cumsum(axis=1) to a

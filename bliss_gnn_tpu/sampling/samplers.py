@@ -30,8 +30,8 @@ Reference hot loop: bandit_sampler.py:341-367.  Device-trace budget of the
 fused 3-layer poisson-bandit pass at the Reddit refit config (bs=256,
 fanouts 4096/2048/1024; jax.profiler device durations, v5e, 2026-08-21,
 scripts/profile_step.py BLISS_PROF_TRACE_REFIT=1 + trace_report.py —
-truthful where tunnel wall timing is not).  Three r5 changes cut the r4
-budget's 35.2 ms device to 27.8 (wall sample 30 -> 21 ms, step 40 ->
+truthful where tunnel wall timing is not).  Four r5 changes cut the r4
+budget's 35.2 ms device to 26.4 (wall sample 30 -> 21-22 ms, step 40 ->
 32):
 
   (a) DYNAMIC TAIL SKIP: every Pallas kernel on the frontier/block
@@ -47,9 +47,15 @@ budget's 35.2 ms device to 27.8 (wall sample 30 -> 21 ms, step 40 ->
       scripts/probe_lut_mxusel.py; the r4-rejected roll variant tried
       to remove the same operand on the VPU and lost);
   (c) block-build ops bound by the kept count (l0: 56k true vs 100k
-      cap — the gathers/debias sums skip ~44% of their tiles).
+      cap — the gathers/debias sums skip ~44% of their tiles);
+  (d) small-gather rerouting: the LUT kernel's routing threshold
+      dropped 2^16 -> 2^14 (probed 3.7x at the l1 block-build shape)
+      and two remaining XLA scalar gathers — compact_by_mask's
+      bases[r_j] take and frontier_seed_broadcast's per-chunk owner
+      takes — now ride it (~1.4 ms device combined).
 
-Post-change budget (27.8 ms device):
+Post-change budget (26.4 ms device after (d); itemization below traced
+at 27.8 before it — the deltas land in the compact/fusion lines):
 
   12.9 ms  importance-prob segment sums (r_ij^2 by src, the q_j math):
            banked Pallas scatter-add, 8.72/3.53/0.66 ms over
