@@ -222,8 +222,13 @@ def gather_in_edges(
     )
     owner = jnp.clip(jax.lax.cummax(own0), 0, n_seeds - 1)
     chunk_valid = cpos < jnp.minimum(total_chunks, n_chunk_cap)
-    within_chunkidx = cpos - jnp.take(coff, owner)
-    chunk_gidx = jnp.take(g_start, owner) + within_chunkidx
+    # per-seed values taken by owner ride the LUT kernel at refit chunk
+    # counts (XLA's scalar take costs ~6.6 ns/idx — 4 takes x 17215
+    # chunks at the l0 refit config)
+    from bliss_gnn_tpu.ops.gather_pallas import maybe_lut_gather
+
+    within_chunkidx = cpos - maybe_lut_gather(coff, owner)
+    chunk_gidx = maybe_lut_gather(g_start, owner) + within_chunkidx
     chunk_gidx = jnp.where(chunk_valid, chunk_gidx, 0)
 
     # per-slot quantities, [n_chunk_cap, ck] -> [e_cap]
@@ -231,8 +236,8 @@ def gather_in_edges(
     eid2d = chunk_gidx[:, None] * ck + j[None, :]
     e_mask = (
         chunk_valid[:, None]
-        & (eid2d >= jnp.take(row_start, owner)[:, None])
-        & (eid2d < jnp.take(row_end, owner)[:, None])
+        & (eid2d >= maybe_lut_gather(row_start, owner)[:, None])
+        & (eid2d < maybe_lut_gather(row_end, owner)[:, None])
     ).reshape(-1)
     eid = jnp.where(e_mask, eid2d.reshape(-1), 0)
     dst_spos = jnp.where(
